@@ -1,0 +1,192 @@
+"""Cartesian single-track (dynamic bicycle) and kinematic-bicycle dynamics.
+
+Reproduces the model semantics of reference ``src/irbfn_mpc/dynamics.py``:
+
+- state layout  ``[x, y, delta, v, psi, psi_dot, beta]`` (7,)
+- control layout ``[accl, steer_vel]`` (2,)
+- dynamic single-track derivative (``dynamic_st_onestep``, ref lines 49-76)
+- kinematic fallback (``f_ks``, ref lines 78-88) with the ``v > 3.0`` blend
+  (ref line 90) expressed branchlessly with ``jnp.where``.
+
+TPU-first design notes (intentional divergences from the reference):
+
+- All functions are *natively batched*: they accept states of shape
+  ``(..., 7)`` and controls ``(..., 2)`` and vectorize over every leading
+  axis.  The reference instead wraps per-sample scalar code in ``jax.vmap``;
+  writing structure-of-arrays code directly gives XLA clean (B, 7) tensors to
+  fuse and avoids per-element ``jnp.array([...])`` stacking in the trace.
+- Horizon rollouts use ``lax.scan`` over the time axis with the *batch* axis
+  dense inside each step, so each scan step is a wide elementwise op (VPU
+  friendly), not a vmapped scan-of-scalars.
+- Euler and RK4 steppers share one derivative function.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from irbfn_tpu.dynamics.params import G, VehicleParams
+
+# state indices
+IX, IY, IDELTA, IV, IPSI, IPSIDOT, IBETA = range(7)
+ST_STATE_DIM = 7
+CONTROL_DIM = 2
+
+V_BLEND = 3.0  # kinematic/dynamic switching speed [m/s] (ref dynamics.py:90)
+
+
+def st_deriv(x: jnp.ndarray, u: jnp.ndarray, p: VehicleParams) -> jnp.ndarray:
+    """Dynamic single-track derivative, batched over leading axes.
+
+    Args:
+        x: states ``(..., 7)`` = [x, y, delta, v, psi, psi_dot, beta]
+        u: controls ``(..., 2)`` = [accl, steer_vel]
+        p: vehicle params (scalars or broadcastable leading axes)
+    Returns:
+        dx/dt ``(..., 7)``
+    """
+    delta = jnp.clip(x[..., IDELTA], -p.s_max, p.s_max)
+    v = jnp.clip(x[..., IV], -p.v_max, p.v_max)
+    psi = x[..., IPSI]
+    psi_dot = x[..., IPSIDOT]
+    beta = x[..., IBETA]
+    accl = jnp.clip(u[..., 0], -p.a_max, p.a_max)
+    sv = jnp.clip(u[..., 1], -p.sv_max, p.sv_max)
+
+    # axle load transfer terms
+    load_f = G * p.lr - accl * p.h
+    load_r = G * p.lf + accl * p.h
+    wb = p.lf + p.lr
+
+    # guard v≈0 for the 1/v terms; blend below selects kinematic there anyway
+    v_safe = jnp.where(jnp.abs(v) < 1e-3, jnp.where(v < 0, -1e-3, 1e-3), v)
+
+    psi_ddot = (p.mu * p.m / (p.I * wb)) * (
+        p.lf * p.C_Sf * load_f * delta
+        + (p.lr * p.C_Sr * load_r - p.lf * p.C_Sf * load_f) * beta
+        - (p.lf**2 * p.C_Sf * load_f + p.lr**2 * p.C_Sr * load_r) * (psi_dot / v_safe)
+    )
+    beta_dot = (p.mu / (v_safe * wb)) * (
+        p.C_Sf * load_f * delta
+        - (p.C_Sr * load_r + p.C_Sf * load_f) * beta
+        + (p.C_Sr * load_r * p.lr - p.C_Sf * load_f * p.lf) * (psi_dot / v_safe)
+    ) - psi_dot
+
+    return jnp.stack(
+        [
+            v * jnp.cos(psi + beta),
+            v * jnp.sin(psi + beta),
+            sv,
+            accl,
+            psi_dot,
+            psi_ddot,
+            beta_dot,
+        ],
+        axis=-1,
+    )
+
+
+def ks_deriv(x: jnp.ndarray, u: jnp.ndarray, p: VehicleParams) -> jnp.ndarray:
+    """Kinematic-bicycle derivative in the 7-dim ST state layout, batched."""
+    delta = jnp.clip(x[..., IDELTA], -p.s_max, p.s_max)
+    v = jnp.clip(x[..., IV], -p.v_max, p.v_max)
+    psi = x[..., IPSI]
+    accl = jnp.clip(u[..., 0], -p.a_max, p.a_max)
+    sv = jnp.clip(u[..., 1], -p.sv_max, p.sv_max)
+    zero = jnp.zeros_like(v)
+    return jnp.stack(
+        [
+            v * jnp.cos(psi),
+            v * jnp.sin(psi),
+            sv,
+            accl,
+            (v / (p.lf + p.lr)) * jnp.tan(delta),
+            zero,
+            zero,
+        ],
+        axis=-1,
+    )
+
+
+def blended_deriv(x: jnp.ndarray, u: jnp.ndarray, p: VehicleParams,
+                  v_blend: float = V_BLEND) -> jnp.ndarray:
+    """Speed-switched derivative: dynamic ST above ``v_blend``, kinematic
+    below (ref dynamics.py:90), branchless for dense vmap/shard lattices."""
+    v = jnp.clip(x[..., IV], -p.v_max, p.v_max)
+    use_dyn = (v > v_blend)[..., None]
+    return jnp.where(use_dyn, st_deriv(x, u, p), ks_deriv(x, u, p))
+
+
+def _bcast_dt(dt):
+    """dt may be scalar or batched over leading axes; add a state-dim axis."""
+    dt = jnp.asarray(dt)
+    return dt[..., None] if dt.ndim > 0 else dt
+
+
+def euler_step(deriv_fn, x, u, p: VehicleParams):
+    return x + deriv_fn(x, u, p) * _bcast_dt(p.dt)
+
+
+def rk4_step(deriv_fn, x, u, p: VehicleParams):
+    dt = _bcast_dt(p.dt)
+    k1 = deriv_fn(x, u, p)
+    k2 = deriv_fn(x + 0.5 * dt * k1, u, p)
+    k3 = deriv_fn(x + 0.5 * dt * k2, u, p)
+    k4 = deriv_fn(x + dt * k3, u, p)
+    return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+def rollout(x0: jnp.ndarray, controls: jnp.ndarray, p: VehicleParams,
+            deriv_fn=blended_deriv, integrator: str = "euler") -> jnp.ndarray:
+    """Integrate a control sequence. Batched over leading axes of ``x0``.
+
+    Args:
+        x0: initial states ``(..., 7)``
+        controls: ``(..., T, 2)``
+        integrator: "euler" (reference behavior) or "rk4"
+    Returns:
+        all states after each step, ``(..., T, 7)``
+    """
+    step = euler_step if integrator == "euler" else rk4_step
+    u_t_first = jnp.moveaxis(controls, -2, 0)  # (T, ..., 2)
+
+    def body(x, u):
+        x_new = step(deriv_fn, x, u, p)
+        return x_new, x_new
+
+    _, xs = jax.lax.scan(body, x0, u_t_first)
+    return jnp.moveaxis(xs, 0, -2)  # (..., T, 7)
+
+
+@partial(jax.jit, static_argnames=("horizon",))
+def integrate_st(x_and_u: jnp.ndarray, params_vec: jnp.ndarray,
+                 horizon: int = 5) -> jnp.ndarray:
+    """Reference-ABI 5-step blended rollout.
+
+    Drop-in equivalent of reference ``integrate_st_mult`` (dynamics.py:94-100):
+    input rows ``[x(7), accl_0..accl_{T-1}, sv_0..sv_{T-1}]`` with the control
+    tail in column-major (accl block then sv block) order; returns all states
+    ``(batch, T, 7)``.
+    """
+    p = VehicleParams.from_vector(params_vec)
+    x0 = x_and_u[..., :ST_STATE_DIM]
+    tail = x_and_u[..., ST_STATE_DIM:]
+    controls = jnp.stack([tail[..., :horizon], tail[..., horizon:2 * horizon]], axis=-1)
+    return rollout(x0, controls, p, deriv_fn=blended_deriv, integrator="euler")
+
+
+@jax.jit
+def kinematic_onestep(x_u: jnp.ndarray, params_vec: jnp.ndarray) -> jnp.ndarray:
+    """Reference-ABI one-step kinematic Euler update.
+
+    Equivalent of reference ``dynamic_st_onestep_aux`` (dynamics.py:103-187),
+    which despite its name applies only the kinematic model (ref line 186).
+    Input rows ``[x(7), accl, sv]`` -> next state ``(..., 7)``.
+    """
+    p = VehicleParams.from_vector(params_vec)
+    x = x_u[..., :ST_STATE_DIM]
+    u = x_u[..., ST_STATE_DIM:ST_STATE_DIM + 2]
+    return x + ks_deriv(x, u, p) * _bcast_dt(p.dt)

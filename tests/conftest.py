@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Tests run on a virtual CPU mesh so multi-device sharding paths are exercised
+without TPU hardware (the driver separately dry-runs multi-chip compilation).
+CPU also gives f64, which the solver-accuracy oracle tests rely on.
+
+NOTE: this environment exports JAX_PLATFORMS=axon (an experimental TPU tunnel
+plugin) before pytest starts, and jax snapshots that env var at import — so
+plain os.environ mutation here is not enough; jax.config.update is.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
