@@ -32,6 +32,7 @@ from irbfn_tpu.dynamics.spiral import (
     integrate_endpoint_gl,
     integrate_path,
     params_to_coefs,
+    sample_path,
 )
 
 __all__ = [
@@ -41,6 +42,6 @@ __all__ = [
     "st_deriv", "FRENET_STATE_DIM", "V_SWITCH", "frenet_deriv",
     "frenet_hs_deriv", "frenet_ls_deriv", "frenet_onestep", "frenet_rollout",
     "integrate_frenet", "tire_forces", "N_PATH_POINTS", "clothoid_to_params",
-    "curvature_theta", "integrate_endpoint_gl", "integrate_path",
+    "curvature_theta", "integrate_endpoint_gl", "integrate_path", "sample_path",
     "params_to_coefs",
 ]

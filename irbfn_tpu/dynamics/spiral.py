@@ -133,6 +133,42 @@ def integrate_endpoint_gl(params: jnp.ndarray, order: int = 16,
     return jnp.stack([x, y, theta_f, kappa_f], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("n_points", "order"))
+def sample_path(params: jnp.ndarray, n_points: int = N_PATH_POINTS,
+                order: int = 8) -> jnp.ndarray:
+    """Accurate spiral path sampling: ``(..., n_points, 4)`` of
+    ``[x, y, theta, kappa]`` at arc-lengths ``linspace(0, sf, n_points)``.
+
+    Unlike ``integrate_path`` (which reproduces the reference's first-order
+    running-average trapezoid, planner_utils.py:44-59), each segment is
+    integrated with ``order``-point Gauss-Legendre and cumulatively summed —
+    machine-precision positions at any sample count.  This is the path the
+    framework itself uses for planning/visualization rollouts.
+    """
+    coefs = params_to_coefs(params)
+    sf = params[..., 4]
+    x_gl, w_gl = np.polynomial.legendre.leggauss(order)
+    x_gl = jnp.asarray((x_gl + 1.0) * 0.5, dtype=params.dtype)  # [0, 1]
+    w_gl = jnp.asarray(w_gl * 0.5, dtype=params.dtype)
+
+    n_seg = n_points - 1
+    h = sf / n_seg  # (...,)
+    # segment start fractions (n_seg,) -> node positions (..., n_seg, order)
+    seg0 = jnp.arange(n_seg, dtype=params.dtype)
+    s_nodes = (seg0[:, None] + x_gl[None, :]) * h[..., None, None]
+    _, theta_nodes = curvature_theta(coefs[..., None, None, :], s_nodes)
+    dx_seg = h[..., None] * jnp.sum(w_gl * jnp.cos(theta_nodes), axis=-1)
+    dy_seg = h[..., None] * jnp.sum(w_gl * jnp.sin(theta_nodes), axis=-1)
+    zeros = jnp.zeros_like(dx_seg[..., :1])
+    xs = jnp.cumsum(jnp.concatenate([zeros, dx_seg], axis=-1), axis=-1)
+    ys = jnp.cumsum(jnp.concatenate([zeros, dy_seg], axis=-1), axis=-1)
+
+    fracs = jnp.linspace(0.0, 1.0, n_points, dtype=params.dtype)
+    s_samples = sf[..., None] * fracs
+    kappa_s, theta_s = curvature_theta(coefs[..., None, :], s_samples)
+    return jnp.stack([xs, ys, theta_s, kappa_s], axis=-1)
+
+
 def clothoid_to_params(k0, dk, s):
     """Convert clothoid (linear-curvature) solution to the 5-param spiral
     layout: curvature knots at s/3 spacings (ref deprecated/genlut.py:62-65)."""
