@@ -1,0 +1,79 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): "BVP solves/sec/chip (datagen) + batch-1024
+plan-inference latency p50". Baseline target: >=1e5 BVP solves/sec on a
+v5e-8 slice => 12,500 solves/sec/chip; vs_baseline = value / 12500.
+
+Runs on whatever the default JAX backend is (the driver provides the real
+TPU chip); measurements are steady-state (post-compile) wall clock.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _time_op(fn, *args, warmup=2, iters=10):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_bvp_solves(n_points: int = 1 << 20):
+    """Clothoid G1-Hermite BVP solves/sec (the datagen hot loop; replaces
+    pyclothoids-over-joblib, deprecated/genlut.py:57-67)."""
+    import jax
+    import jax.numpy as jnp
+
+    from irbfn_tpu.solvers.clothoid import solve_g1_lattice
+
+    rng = np.random.default_rng(0)
+    goals = np.column_stack([
+        rng.uniform(5.0, 30.0, n_points),
+        rng.uniform(-8.0, 8.0, n_points),
+        rng.uniform(-1.57, 1.57, n_points),
+    ]).astype(np.float32)
+    goals = jnp.asarray(goals)
+    fn = jax.jit(lambda g: solve_g1_lattice(g))
+    dt = _time_op(fn, goals)
+    return n_points / dt
+
+
+def bench_plan_latency(batch: int = 1024):
+    """Batch-1024 WCRBF plan-inference latency p50 (the online hot op,
+    irbfn_planner.py:29-32 & 205)."""
+    import jax
+
+    from __graft_entry__ import entry
+
+    fn, (variables, x) = entry()
+    jfn = jax.jit(fn)
+    assert x.shape[0] == batch
+    return _time_op(jfn, variables, x, warmup=3, iters=30)
+
+
+def main():
+    solves_per_sec = bench_bvp_solves()
+    latency_s = bench_plan_latency()
+    baseline_per_chip = 1e5 / 8.0  # v5e-8 north-star, per chip
+    print(json.dumps({
+        "metric": "clothoid_bvp_solves_per_sec_per_chip",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / baseline_per_chip, 3),
+        "extra": {
+            "plan_latency_batch1024_p50_ms": round(latency_s * 1e3, 4),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

