@@ -48,22 +48,32 @@ def tire_forces(delta, vx, vy, wz, p: VehicleParams):
 
 
 def frenet_hs_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
-                    p: VehicleParams) -> jnp.ndarray:
+                    p: VehicleParams, saturate: bool = True) -> jnp.ndarray:
     """High-speed (dynamic, tire-force) Frenet derivative, batched.
 
     Args:
         x: states ``(..., 7)`` = [s, ey, delta, vx, vy, wz, epsi]
         u: controls ``(..., 2)`` = [accl, steer_vel]
         curv: path curvature at s, ``(...,)``
+        saturate: clip delta/controls to their physical limits (the reference
+            JAX dynamics do, dynamics.py:227-236). The NMPC solver passes
+            False: its CasADi counterpart feeds raw variables and enforces
+            bounds as constraints (dmpc_frenet.py:358-416,443-453), and the
+            clip kinks sit exactly at the solver's box bounds, creating
+            spurious nonsmooth minima.
     """
     ey = x[..., IEY]
-    delta = jnp.clip(x[..., IDELTA], -p.s_max, p.s_max)
+    delta = x[..., IDELTA]
     vx = x[..., IVX]
     vy = x[..., IVY]
     wz = x[..., IWZ]
     epsi = x[..., IEPSI]
-    a = jnp.clip(u[..., 0], -p.a_max, p.a_max)
-    sv = jnp.clip(u[..., 1], -p.sv_max, p.sv_max)
+    a = u[..., 0]
+    sv = u[..., 1]
+    if saturate:
+        delta = jnp.clip(delta, -p.s_max, p.s_max)
+        a = jnp.clip(a, -p.a_max, p.a_max)
+        sv = jnp.clip(sv, -p.sv_max, p.sv_max)
 
     fyf, fyr = tire_forces(delta, vx, vy, wz, p)
     one_m_ke = 1.0 - curv * ey
@@ -84,15 +94,20 @@ def frenet_hs_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
 
 
 def frenet_ls_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
-                    p: VehicleParams) -> jnp.ndarray:
+                    p: VehicleParams, saturate: bool = True) -> jnp.ndarray:
     """Low-speed (kinematic) Frenet derivative, batched. vy/wz derivatives
-    are zero (ref dynamics.py:267-277)."""
+    are zero (ref dynamics.py:267-277). See frenet_hs_deriv for
+    ``saturate``."""
     ey = x[..., IEY]
-    delta = jnp.clip(x[..., IDELTA], -p.s_max, p.s_max)
+    delta = x[..., IDELTA]
     vx = x[..., IVX]
     epsi = x[..., IEPSI]
-    a = jnp.clip(u[..., 0], -p.a_max, p.a_max)
-    sv = jnp.clip(u[..., 1], -p.sv_max, p.sv_max)
+    a = u[..., 0]
+    sv = u[..., 1]
+    if saturate:
+        delta = jnp.clip(delta, -p.s_max, p.s_max)
+        a = jnp.clip(a, -p.a_max, p.a_max)
+        sv = jnp.clip(sv, -p.sv_max, p.sv_max)
 
     s_dot = (vx * jnp.cos(epsi)) / (1.0 - ey * curv)
     zero = jnp.zeros_like(vx)
@@ -111,7 +126,7 @@ def frenet_ls_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
 
 
 def frenet_deriv(x, u, curv, p: VehicleParams, blend: str = "switch",
-                 v_switch: float = V_SWITCH) -> jnp.ndarray:
+                 v_switch: float = V_SWITCH, saturate: bool = True) -> jnp.ndarray:
     """Frenet derivative with selectable model blending.
 
     blend="switch": speed-switched (the CasADi oracle's if_else, branchless).
@@ -119,13 +134,13 @@ def frenet_deriv(x, u, curv, p: VehicleParams, blend: str = "switch",
     blend="hs":     always high-speed.
     """
     if blend == "ls":
-        return frenet_ls_deriv(x, u, curv, p)
+        return frenet_ls_deriv(x, u, curv, p, saturate)
     if blend == "hs":
-        return frenet_hs_deriv(x, u, curv, p)
+        return frenet_hs_deriv(x, u, curv, p, saturate)
     speed = jnp.sqrt(x[..., IVX] ** 2 + x[..., IVY] ** 2)
     use_hs = (speed >= v_switch)[..., None]
-    return jnp.where(use_hs, frenet_hs_deriv(x, u, curv, p),
-                     frenet_ls_deriv(x, u, curv, p))
+    return jnp.where(use_hs, frenet_hs_deriv(x, u, curv, p, saturate),
+                     frenet_ls_deriv(x, u, curv, p, saturate))
 
 
 def frenet_rollout(x0: jnp.ndarray, controls: jnp.ndarray, curv: jnp.ndarray,

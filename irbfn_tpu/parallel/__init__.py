@@ -1,1 +1,27 @@
-"""Placeholder — populated as layers are built."""
+"""Mesh/sharding helpers and sharded lattice datagen."""
+
+from irbfn_tpu.parallel.datagen import (
+    CLOTHOID_GRID,
+    FRENET_GRID,
+    GridSpec,
+    build_lattice,
+    frenet_table,
+    save_table,
+    solve_lattice_sharded,
+)
+from irbfn_tpu.parallel.mesh import (
+    DATA_AXIS,
+    EXPERT_AXIS,
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_params,
+    wcrbf_param_sharding,
+)
+
+__all__ = [
+    "CLOTHOID_GRID", "FRENET_GRID", "GridSpec", "build_lattice",
+    "frenet_table", "save_table", "solve_lattice_sharded", "DATA_AXIS",
+    "EXPERT_AXIS", "data_sharding", "make_mesh", "replicated",
+    "shard_params", "wcrbf_param_sharding",
+]

@@ -1,0 +1,134 @@
+"""Sharded lattice data generation (the joblib-fan-out replacement).
+
+The reference generates solution tables by forking 100 CPU processes, each
+running a CasADi/IPOPT solver point-by-point
+(scripts/nmpc_data_generator_frenet.py:100-113, N7 in SURVEY.md §2.6).  Here
+the lattice is one sharded array:
+
+    grid spec -> meshgrid rows -> shard over mesh 'data' axis ->
+    per-shard vmapped solve (clothoid or NMPC) -> all_gather -> host save
+
+The per-point solve is already batched (vmap inside jit), so ``shard_map``
+only partitions the lattice across devices; XLA lays the all-gather on ICI.
+Solver failures come back as a validity mask in the same row positions
+(replacing the -999 sentinel convention; a ``to_sentinel_rows`` helper
+reproduces the reference's on-disk format for drop-in table compatibility).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from irbfn_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """One lattice axis: linspace(lo, hi, num) (endpoint inclusive, matching
+    the reference's np.linspace grids, nmpc_data_generator_frenet.py:41-60)."""
+
+    name: str
+    lo: float
+    hi: float
+    num: int
+
+    def values(self) -> np.ndarray:
+        return np.linspace(self.lo, self.hi, self.num, endpoint=True)
+
+
+# the reference's default frenet lattice (arg_utils.py:39-72)
+FRENET_GRID = (
+    GridSpec("ey", -0.2, 2.0, 12),
+    GridSpec("delta", -0.3, 0.3, 7),
+    GridSpec("vx_car", 1.0, 7.0, 11),
+    GridSpec("vy_car", -1.0, 1.0, 11),
+    GridSpec("vx_goal", 3.0, 7.0, 5),
+    GridSpec("wz", -2.6, 2.6, 11),
+    GridSpec("epsi", -1.0, 1.0, 11),
+    GridSpec("curv", -0.1, 0.1, 3),
+)
+
+# the reference's clothoid LUT lattice (deprecated/genlut.py:33-46)
+CLOTHOID_GRID = (
+    GridSpec("x", 5.0, 30.0, 251),
+    GridSpec("y", -8.0, 8.0, 161),
+    GridSpec("theta", -1.57, 1.57, 158),
+)
+
+
+def build_lattice(grid: Sequence[GridSpec], dtype=np.float32) -> np.ndarray:
+    """Meshgrid the axes into flat rows (N, D), 'ij' indexing like the
+    reference so row order (and therefore table layout) matches."""
+    axes = [g.values() for g in grid]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    return np.stack([m.reshape(-1) for m in mesh], axis=-1).astype(dtype)
+
+
+def _pad_rows(rows: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
+    n = rows.shape[0]
+    n_pad = ((n + multiple - 1) // multiple) * multiple
+    if n_pad != n:
+        rows = np.concatenate(
+            [rows, np.broadcast_to(rows[-1:], (n_pad - n,) + rows.shape[1:])])
+    return rows, n
+
+
+def solve_lattice_sharded(solve_fn: Callable, rows: np.ndarray,
+                          mesh=None, batch_per_device: int = 65536):
+    """Run ``solve_fn`` (a batched jittable rows->pytree solver) over a
+    lattice, sharded across the mesh's data axis.
+
+    Args:
+        solve_fn: maps ``(B, D)`` rows to a pytree of ``(B, ...)`` results.
+        rows: the full lattice ``(N, D)``.
+        mesh: a Mesh (defaults to all devices on one 'data' axis).
+        batch_per_device: chunk size per device per dispatch; chunking keeps
+            peak HBM bounded for multi-hundred-million-row lattices.
+    Returns:
+        pytree of np arrays with leading dim N.
+    """
+    if mesh is None:
+        mesh = make_mesh(expert=1)
+    n_dev = mesh.devices.size
+    chunk_rows = n_dev * batch_per_device
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    jitted = jax.jit(solve_fn, in_shardings=(sharding,),
+                     out_shardings=NamedSharding(mesh, P()))
+
+    outs = []
+    n_total = rows.shape[0]
+    for start in range(0, n_total, chunk_rows):
+        chunk = rows[start:start + chunk_rows]
+        chunk, n_valid = _pad_rows(chunk, n_dev)
+        result = jitted(jnp.asarray(chunk))
+        outs.append(jax.tree.map(lambda a: np.asarray(a)[:n_valid], result))
+    return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+
+
+def frenet_table(rows, solution, n_constraints: int = 86) -> Dict[str, np.ndarray]:
+    """Assemble the reference's on-disk table dict from an NMPCSolution:
+    ``inputs`` (N, 8), ``outputs`` (N, T, 2) [accel, steer-vel columns], and
+    ``constraints`` (N, 86), with infeasible rows encoded as -999 sentinels
+    (nmpc_data_generator_frenet.py:119-140 format)."""
+    accel = np.asarray(solution.accel)
+    sv = np.asarray(solution.steer_vel)
+    feas = np.asarray(solution.feasible)
+    onehot = np.asarray(solution.active_onehot)
+    outputs = np.stack([accel, sv], axis=-1)
+    outputs[~feas] = -999.0
+    constraints = onehot.astype(np.float64)
+    constraints[~feas] = -999.0
+    return {"inputs": np.asarray(rows), "outputs": outputs,
+            "constraints": constraints, "valid": feas}
+
+
+def save_table(path: str, table: Dict[str, np.ndarray]):
+    np.savez(path, **table)

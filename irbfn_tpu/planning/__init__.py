@@ -1,1 +1,28 @@
-"""Placeholder — populated as layers are built."""
+"""Planner / runtime layer (L5)."""
+
+from irbfn_tpu.planning.bandits import EXP3, exp3_init, exp3_probs, exp3_pull, exp3_update
+from irbfn_tpu.planning.explicit import (
+    AdaptiveExplicitPlanner,
+    ExplicitFrenetPlanner,
+    GridTable,
+    NNTable,
+    grid_lookup,
+    grid_table_from_arrays,
+    nn_lookup,
+    nn_table_from_arrays,
+)
+from irbfn_tpu.planning.planner import (
+    AdaptiveIRBFNPlanner,
+    IRBFNFrenetPlanner,
+    IRBFNPlanner,
+    NMPCPlanner,
+    PlanResult,
+)
+
+__all__ = [
+    "EXP3", "exp3_init", "exp3_probs", "exp3_pull", "exp3_update",
+    "AdaptiveExplicitPlanner", "ExplicitFrenetPlanner", "GridTable",
+    "NNTable", "grid_lookup", "grid_table_from_arrays", "nn_lookup",
+    "nn_table_from_arrays", "AdaptiveIRBFNPlanner", "IRBFNFrenetPlanner",
+    "IRBFNPlanner", "NMPCPlanner", "PlanResult",
+]

@@ -1,0 +1,168 @@
+"""Explicit (lookup-table) planners — plan by querying the raw solver table.
+
+Capability match for reference ``src/irbfn_mpc/explicit_planner.py``
+(ExplicitPlanner, ExplicitFrenetPlanner, AdaptiveExplicitPlanner), TPU-first:
+
+- the reference binary-searches each dimension with ``np.searchsorted`` on
+  host (explicit_planner.py:165-172) or queries a scipy KDTree (``:219,383``,
+  native component N6); here lookups are **grid-index arithmetic** — the
+  tables ARE regular lattices, so the nearest row is round((q-lo)/step) per
+  dimension, one fused device op, batched over queries;
+- a brute-force nearest-neighbor path covers irregular (filtered) tables:
+  distance argmin via one (B, N) matmul on the MXU — the pattern the
+  reference prototypes at explicit_planner.py:21-25;
+- infeasible (-999) rows are guarded by a validity mask instead of runtime
+  value checks (explicit_planner.py:390-392).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class GridTable(NamedTuple):
+    """A regular-lattice solution table.
+
+    lows/steps/nums define the lattice (per input dim); outputs is
+    (prod(nums), out_dim); valid marks feasible rows.
+    """
+
+    lows: jnp.ndarray  # (D,)
+    steps: jnp.ndarray  # (D,)
+    nums: tuple  # static (D,) python ints
+    outputs: jnp.ndarray  # (N, O)
+    valid: jnp.ndarray  # (N,) bool
+
+
+def grid_table_from_arrays(inputs: np.ndarray, outputs: np.ndarray,
+                           valid: Optional[np.ndarray] = None) -> GridTable:
+    """Build a GridTable from reference-format (inputs, outputs) npz arrays
+    (meshgrid-flattened 'ij' order, nmpc_data_generator_frenet.py:81-98)."""
+    d = inputs.shape[1]
+    axes = [np.unique(inputs[:, i]) for i in range(d)]
+    nums = tuple(len(a) for a in axes)
+    assert int(np.prod(nums)) == inputs.shape[0], (
+        "inputs are not a full regular lattice")
+    lows = np.array([a[0] for a in axes])
+    steps = np.array([(a[-1] - a[0]) / max(len(a) - 1, 1) if len(a) > 1 else 1.0
+                      for a in axes])
+    out_flat = outputs.reshape(outputs.shape[0], -1)
+    if valid is None:
+        valid = ~np.any(out_flat == -999.0, axis=1)
+    return GridTable(jnp.asarray(lows, jnp.float32),
+                     jnp.asarray(steps, jnp.float32), nums,
+                     jnp.asarray(out_flat), jnp.asarray(valid))
+
+
+@partial(jax.jit, static_argnames=("nums",))
+def _grid_lookup(lows, steps, nums, outputs, valid, queries):
+    idx = jnp.round((queries - lows) / steps).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, jnp.asarray(nums, jnp.int32) - 1)
+    strides = np.concatenate([np.cumprod(np.asarray(nums[1:])[::-1])[::-1],
+                              [1]]).astype(np.int32)
+    flat = jnp.sum(idx * jnp.asarray(strides), axis=-1)
+    return outputs[flat], valid[flat]
+
+
+def grid_lookup(table: GridTable, queries: jnp.ndarray):
+    """Nearest-lattice-row lookup, batched: (B, D) -> ((B, O), (B,) valid)."""
+    return _grid_lookup(table.lows, table.steps, table.nums, table.outputs,
+                        table.valid, queries)
+
+
+class NNTable(NamedTuple):
+    """Irregular table for brute-force nearest-neighbor lookup (the KDTree
+    replacement). Queries use the matmul distance trick on the MXU."""
+
+    inputs: jnp.ndarray  # (N, D), pre-scaled
+    outputs: jnp.ndarray  # (N, O)
+    scale: jnp.ndarray  # (D,) per-dim scaling applied to inputs
+
+
+def nn_table_from_arrays(inputs, outputs, scale=None) -> NNTable:
+    inputs = np.asarray(inputs, np.float32)
+    out_flat = np.asarray(outputs).reshape(inputs.shape[0], -1)
+    valid = ~np.any(out_flat == -999.0, axis=1)
+    inputs, out_flat = inputs[valid], out_flat[valid]
+    if scale is None:
+        span = inputs.max(0) - inputs.min(0)
+        scale = 1.0 / np.where(span > 0, span, 1.0)
+    return NNTable(jnp.asarray(inputs * scale), jnp.asarray(out_flat),
+                   jnp.asarray(scale, jnp.float32))
+
+
+@jax.jit
+def nn_lookup(table: NNTable, queries: jnp.ndarray):
+    """Exact nearest neighbor via ||q - x||^2 = ||q||^2 - 2 q.x + ||x||^2;
+    the q.x term is one (B, N) matmul (MXU), argmin over N."""
+    q = queries * table.scale
+    x_sq = jnp.sum(table.inputs**2, axis=-1)
+    cross = q @ table.inputs.T
+    d2 = x_sq[None] - 2.0 * cross + jnp.sum(q * q, axis=-1, keepdims=True)
+    idx = jnp.argmin(d2, axis=-1)
+    return table.outputs[idx], idx
+
+
+class ExplicitFrenetPlanner:
+    """Plan by table lookup in the Frenet frame (reference
+    ExplicitFrenetPlanner, explicit_planner.py:210-449)."""
+
+    def __init__(self, table, track, use_grid: bool = True):
+        self.table = table
+        self.track = track
+        self.use_grid = use_grid and isinstance(table, GridTable)
+
+    def plan_batch(self, s, ey, epsi, delta, vx, vy, wz):
+        from irbfn_tpu.sim.track import interp_wrapped
+
+        rl = self.track.raceline
+        curv = interp_wrapped(rl.ss, rl.ks, s, rl.length)
+        vx_goal = interp_wrapped(rl.ss, rl.vxs, s, rl.length)
+        q = jnp.stack([ey, delta, vx, vy, vx_goal, wz, epsi, curv], axis=-1)
+        if self.use_grid:
+            out, valid = grid_lookup(self.table, q)
+        else:
+            out, _ = nn_lookup(self.table, q)
+            valid = jnp.ones(out.shape[:-1], bool)
+        return out, valid
+
+    def plan(self, obs) -> tuple:
+        s, ey, epsi = self.track.cartesian_to_frenet(
+            obs["pose_x"], obs["pose_y"], obs["pose_theta"])
+        out, valid = self.plan_batch(
+            jnp.atleast_1d(s), jnp.atleast_1d(ey), jnp.atleast_1d(epsi),
+            jnp.atleast_1d(jnp.asarray(obs["delta"])),
+            jnp.atleast_1d(jnp.asarray(obs["linear_vel_x"])),
+            jnp.atleast_1d(jnp.asarray(obs["linear_vel_y"])),
+            jnp.atleast_1d(jnp.asarray(obs["ang_vel_z"])))
+        if not bool(valid[0]):
+            return 0.0, 0.0  # infeasible cell: coast (ref guard :390-392)
+        T = out.shape[-1] // 2
+        return float(out[0, 0]), float(out[0, T])
+
+
+class AdaptiveExplicitPlanner:
+    """EXP3 over a bank of explicit tables (reference
+    AdaptiveExplicitPlanner, explicit_planner.py:452-608)."""
+
+    def __init__(self, planners: Sequence, gamma: float = 0.2, seed: int = 0):
+        from irbfn_tpu.planning.bandits import EXP3
+
+        self.planners = list(planners)
+        self.bandit = EXP3(len(self.planners), gamma, seed)
+        self.current_arm = 0
+
+    def select(self) -> int:
+        self.current_arm = self.bandit.pull_arm()
+        return self.current_arm
+
+    def reward(self, r: float):
+        self.bandit.update_dist(self.current_arm, r)
+
+    def plan(self, obs):
+        return self.planners[self.current_arm].plan(obs)

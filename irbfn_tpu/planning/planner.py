@@ -1,0 +1,253 @@
+"""Online planners: learned (IRBFN), solver-in-the-loop (NMPC), adaptive.
+
+Capability match for reference ``src/irbfn_mpc/irbfn_planner.py`` (IRBFNPlanner,
+IRBFNFrenetPlanner, AdaptiveIRBFNPlanner) and the online half of
+``nonlinear_dmpc_frenet.py`` (NMPCPlanner.plan), rebuilt TPU-first:
+
+- the full plan step — waypoint lookup, frame transform, mirror trick, net
+  forward, un-mirror, rollout — is ONE jitted function with no host
+  round-trips (the reference interleaves numba host loops with jax calls);
+- every planner is natively batched: one call serves a batch of poses
+  (the sub-ms batch-1024 north-star), a single pose is just batch=1;
+- the mirror symmetry trick (halving the table, irbfn_planner.py:189-208)
+  is branchless (sign masks instead of Python if).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irbfn_tpu.dynamics.params import VehicleParams, f1tenth_params
+from irbfn_tpu.dynamics.single_track import rollout as st_rollout
+from irbfn_tpu.planning.bandits import EXP3
+from irbfn_tpu.sim.track import Track, interp_wrapped
+from irbfn_tpu.solvers.clothoid import wrap_angle
+from irbfn_tpu.solvers.nmpc import NMPCConfig, solve_nmpc_batch
+
+
+class PlanResult(NamedTuple):
+    accel: jnp.ndarray  # (...,)
+    steer_vel: jnp.ndarray  # (...,)
+    pred_controls: jnp.ndarray  # (..., T, 2) full predicted sequence
+    pred_states: jnp.ndarray  # (..., T, 7) rollout for visualization
+    goal: jnp.ndarray  # (..., >=3) goal state used
+
+
+def _lookahead_goal(rl_points, rl_vxs, rl_yaws, x, y, v, horizon_time=0.5,
+                    min_lookahead=0.1):
+    """Velocity-scaled lookahead waypoint on the raceline.
+
+    Device-side analogue of the reference's nearest_point+intersect_point
+    lookup (irbfn_planner.py:113-145): project the pose on the raceline and
+    walk the arc forward by v * horizon_time.
+    """
+    query = jnp.stack([x, y], axis=-1)
+    d2 = jnp.sum((query[..., None, :] - rl_points) ** 2, axis=-1)
+    idx = jnp.argmin(d2, axis=-1)
+    n = rl_points.shape[0]
+    # arc spacing (uniform resampled raceline)
+    seg = jnp.linalg.norm(rl_points[1] - rl_points[0])
+    la_d = jnp.maximum(jnp.maximum(v, 0.1) * horizon_time, min_lookahead)
+    steps = jnp.ceil(la_d / seg).astype(jnp.int32)
+    goal_idx = jnp.mod(idx + steps, n)
+    gx = rl_points[goal_idx, 0]
+    gy = rl_points[goal_idx, 1]
+    gtheta = rl_yaws[goal_idx]
+    gv = rl_vxs[idx]  # velocity from the CLOSEST point (irbfn_planner.py:140)
+    return gx, gy, gtheta, gv
+
+
+class IRBFNPlanner:
+    """Cartesian learned planner (reference IRBFNPlanner, irbfn_planner.py:35-241).
+
+    net input: [v, x_g, y_g, t_g, v_g, beta, angv] in body frame with the
+    y>=0 mirror trick; output: [accl_0..4, sv_0..4] (sv_ind selects layout).
+    """
+
+    def __init__(self, model, params, track: Track,
+                 dyn_params: Optional[VehicleParams] = None,
+                 mirror: bool = False, sv_ind: int = 5,
+                 horizon_time: float = 0.5):
+        self.track = track
+        self.mirror = mirror
+        self.sv_ind = sv_ind
+        p = dyn_params or f1tenth_params()
+        rl = track.raceline
+        apply_fn = model.apply
+
+        @jax.jit
+        def plan_fn(net_params, x, y, theta, delta, v, beta, angv):
+            gx, gy, gtheta, gv = _lookahead_goal(
+                rl.points, rl.vxs, rl.yaws, x, y, v, horizon_time)
+            # body-frame goal
+            dx, dy = gx - x, gy - y
+            c, s = jnp.cos(-theta), jnp.sin(-theta)
+            lx = c * dx - s * dy
+            ly = s * dx + c * dy
+            ltheta = gtheta - theta
+            # mirror trick: reflect left-half goals (irbfn_planner.py:188-204)
+            need_m = ly < 0
+            sign = jnp.where(need_m, -1.0, 1.0)
+            ly_m = sign * ly
+            lt_m = jnp.mod(sign * ltheta, jnp.pi)
+            net_in = jnp.stack([v, lx, ly_m, lt_m, gv, beta, angv], axis=-1)
+            u = apply_fn(net_params, jnp.atleast_2d(net_in))
+            u = jnp.reshape(u, net_in.shape[:-1] + (u.shape[-1],))
+            if self.mirror:
+                # un-mirror the steer-vel block (irbfn_planner.py:207-208)
+                T = u.shape[-1] - self.sv_ind
+                flip = jnp.concatenate([
+                    jnp.ones(u.shape[-1] - T), jnp.full((T,), -1.0)])
+                u = jnp.where(need_m[..., None], u * flip, u)
+            controls = jnp.stack(
+                [u[..., 0:u.shape[-1] // 2], u[..., u.shape[-1] // 2:]], axis=-1)
+            x0 = jnp.stack([x, y, delta, v, theta, angv, beta], axis=-1)
+            states = st_rollout(x0, controls, p)
+            goal = jnp.stack([gx, gy, gtheta, gv], axis=-1)
+            return PlanResult(u[..., 0], u[..., self.sv_ind], controls,
+                              states, goal)
+
+        self._plan_fn = plan_fn
+        self._params = params
+        self.last: Optional[PlanResult] = None
+
+    def plan_batch(self, x, y, theta, delta, v, beta, angv) -> PlanResult:
+        res = self._plan_fn(self._params, jnp.asarray(x), jnp.asarray(y),
+                            jnp.asarray(theta), jnp.asarray(delta),
+                            jnp.asarray(v), jnp.asarray(beta),
+                            jnp.asarray(angv))
+        self.last = res
+        return res
+
+    def plan(self, obs) -> tuple:
+        """Reference obs-dict API: returns (accel, steer_vel) floats."""
+        res = self.plan_batch(
+            obs["pose_x"], obs["pose_y"], obs["pose_theta"], obs["delta"],
+            obs["linear_vel_x"], obs["beta"], obs["ang_vel_z"])
+        return float(res.accel), float(res.steer_vel)
+
+
+class IRBFNFrenetPlanner:
+    """Frenet learned planner (reference IRBFNFrenetPlanner,
+    irbfn_planner.py:244-560).
+
+    net input: [ey, delta, vx, vy, vx_goal, wz, epsi, curv] with the ey<-0.05
+    mirror (irbfn_planner.py:456-480); output: [accl_0..4, sv_0..4].
+    """
+
+    MIRROR_EY_THRESHOLD = -0.05
+
+    def __init__(self, model, params, track: Track,
+                 dyn_params: Optional[VehicleParams] = None,
+                 mirror: bool = True, horizon: int = 5):
+        self.track = track
+        p = dyn_params or f1tenth_params()
+        rl = track.raceline
+        apply_fn = model.apply
+        thresh = self.MIRROR_EY_THRESHOLD
+
+        @jax.jit
+        def plan_fn(net_params, s, ey, epsi, delta, vx, vy, wz):
+            curv = interp_wrapped(rl.ss, rl.ks, s, rl.length)
+            vx_goal = interp_wrapped(rl.ss, rl.vxs, s, rl.length)
+            need_m = ey < thresh if mirror else jnp.zeros_like(ey, bool)
+            sign = jnp.where(need_m, -1.0, 1.0)
+            net_in = jnp.stack([sign * ey, delta, vx, vy, vx_goal, wz,
+                                sign * epsi, curv], axis=-1)
+            u = apply_fn(net_params, jnp.atleast_2d(net_in))
+            u = jnp.reshape(u, net_in.shape[:-1] + (u.shape[-1],))
+            T = u.shape[-1] // 2
+            flip = jnp.concatenate([jnp.ones((T,)), -jnp.ones((T,))])
+            u = jnp.where(need_m[..., None], u * flip, u)
+            controls = jnp.stack([u[..., :T], u[..., T:]], axis=-1)
+            x0 = jnp.stack([s, ey, delta, vx, vy, wz, epsi], axis=-1)
+            from irbfn_tpu.dynamics.frenet import frenet_rollout
+            states = frenet_rollout(x0, controls, curv, p, blend="ls")
+            goal = jnp.stack([jnp.zeros_like(ey), jnp.zeros_like(ey),
+                              jnp.zeros_like(ey), vx_goal], axis=-1)
+            return PlanResult(u[..., 0], u[..., T], controls, states, goal)
+
+        self._plan_fn = plan_fn
+        self._params = params
+        self.last: Optional[PlanResult] = None
+
+    def plan_batch(self, s, ey, epsi, delta, vx, vy, wz) -> PlanResult:
+        res = self._plan_fn(self._params, *(jnp.asarray(a) for a in
+                                            (s, ey, epsi, delta, vx, vy, wz)))
+        self.last = res
+        return res
+
+    def plan(self, obs) -> tuple:
+        s, ey, epsi = self.track.cartesian_to_frenet(
+            obs["pose_x"], obs["pose_y"], obs["pose_theta"])
+        res = self.plan_batch(s, ey, epsi, obs["delta"],
+                              obs["linear_vel_x"], obs["linear_vel_y"],
+                              obs["ang_vel_z"])
+        return float(res.accel), float(res.steer_vel)
+
+
+class NMPCPlanner:
+    """Solver-in-the-loop planner: replaces the reference's online IPOPT
+    call (nonlinear_dmpc_frenet.py:558-603) with the batched AL/Newton
+    solver. Warm-starts from the previous solution shift."""
+
+    def __init__(self, track: Track, params: VehicleParams,
+                 cfg: NMPCConfig = NMPCConfig()):
+        self.track = track
+        self.params = params
+        self.cfg = cfg
+        self._u_prev = None
+
+    def plan_batch(self, s, ey, epsi, delta, vx, vy, wz):
+        rl = self.track.raceline
+        curv = interp_wrapped(rl.ss, rl.ks, s, rl.length)
+        vx_goal = interp_wrapped(rl.ss, rl.vxs, s, rl.length)
+        zeros = jnp.zeros_like(ey)
+        x0 = jnp.stack([zeros, ey, delta, vx, vy, wz, epsi], axis=-1)
+        goal = jnp.stack([zeros] * 3 + [vx_goal] + [zeros] * 3, axis=-1)
+        u_init = self._u_prev
+        if u_init is not None and u_init.shape[:-2] != x0.shape[:-1]:
+            u_init = None
+        sol = solve_nmpc_batch(x0, goal, curv, self.params, self.cfg,
+                               u_init=u_init)
+        u = jnp.stack([sol.accel, sol.steer_vel], axis=-1)
+        # shift warm start one step forward
+        self._u_prev = jnp.concatenate([u[..., 1:, :], u[..., -1:, :]], axis=-2)
+        return sol
+
+    def plan(self, obs) -> tuple:
+        s, ey, epsi = self.track.cartesian_to_frenet(
+            obs["pose_x"], obs["pose_y"], obs["pose_theta"])
+        sol = self.plan_batch(jnp.atleast_1d(s), jnp.atleast_1d(ey),
+                              jnp.atleast_1d(epsi),
+                              jnp.atleast_1d(jnp.asarray(obs["delta"])),
+                              jnp.atleast_1d(jnp.asarray(obs["linear_vel_x"])),
+                              jnp.atleast_1d(jnp.asarray(obs["linear_vel_y"])),
+                              jnp.atleast_1d(jnp.asarray(obs["ang_vel_z"])))
+        return float(sol.accel[0, 0]), float(sol.steer_vel[0, 0])
+
+
+class AdaptiveIRBFNPlanner:
+    """EXP3 bandit over a bank of planners trained for different (mu, cs)
+    (reference AdaptiveIRBFNPlanner, irbfn_planner.py:563-781; unlike the
+    reference, arm selection is actually wired into plan())."""
+
+    def __init__(self, planners: List, gamma: float = 0.2, seed: int = 0):
+        self.planners = planners
+        self.bandit = EXP3(len(planners), gamma, seed)
+        self.current_arm = 0
+
+    def select(self) -> int:
+        self.current_arm = self.bandit.pull_arm()
+        return self.current_arm
+
+    def reward(self, r: float):
+        self.bandit.update_dist(self.current_arm, r)
+
+    def plan(self, obs):
+        return self.planners[self.current_arm].plan(obs)

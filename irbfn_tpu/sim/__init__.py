@@ -1,1 +1,20 @@
-"""Placeholder — populated as layers are built."""
+"""Simulator layer (L1): track, Frenet frame, closed-loop env."""
+
+from irbfn_tpu.sim.env import Observation, SimState, TrackEnv, deviation_metrics
+from irbfn_tpu.sim.track import (
+    Raceline,
+    Track,
+    cartesian_to_frenet,
+    centerline_from_arrays,
+    frenet_to_cartesian,
+    from_control_points,
+    interp_wrapped,
+    oval_track,
+)
+
+__all__ = [
+    "Observation", "SimState", "TrackEnv", "deviation_metrics", "Raceline",
+    "Track", "cartesian_to_frenet", "centerline_from_arrays",
+    "frenet_to_cartesian", "from_control_points", "interp_wrapped",
+    "oval_track",
+]

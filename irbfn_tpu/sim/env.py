@@ -1,0 +1,131 @@
+"""Minimal closed-loop track simulator (f1tenth_gym capability replacement).
+
+Provides the closed-loop evaluation surface the reference gets from
+f1tenth_gym (SURVEY.md §2.5): single-track dynamics stepping with (mu, cs)
+vehicle parameters, track-relative observations (the "frenet_dynamic_state"
+observation the planners consume), lap tracking, noisy resets, and
+vectorized batch rollouts for robustness sweeps.
+
+TPU-first: the simulator state is a pytree of arrays batched over parallel
+episodes; ``step`` is jittable, so an entire (mu, cs) robustness sweep
+(reference scripts/eval_dnmpc.py joblib fan-out) becomes ONE vmapped/sharded
+closed-loop rollout on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from irbfn_tpu.dynamics.params import VehicleParams
+from irbfn_tpu.dynamics.single_track import blended_deriv, rk4_step
+from irbfn_tpu.sim.track import Track, cartesian_to_frenet
+
+
+class SimState(NamedTuple):
+    x: jnp.ndarray  # (..., 7) ST state [x, y, delta, v, psi, psidot, beta]
+    t: jnp.ndarray  # (...,) sim time
+    s: jnp.ndarray  # (...,) frenet progress (unwrapped)
+    laps: jnp.ndarray  # (...,) completed laps
+    done: jnp.ndarray  # (...,) terminated flag
+
+
+class Observation(NamedTuple):
+    """Superset of the gym observation dicts the reference planners read
+    (pose/velocity/frenet fields, irbfn_planner.py:161-167 &
+    nonlinear_dmpc_frenet.py:472-487)."""
+
+    pose_x: jnp.ndarray
+    pose_y: jnp.ndarray
+    pose_theta: jnp.ndarray
+    delta: jnp.ndarray
+    linear_vel_x: jnp.ndarray
+    linear_vel_y: jnp.ndarray
+    ang_vel_z: jnp.ndarray
+    beta: jnp.ndarray
+    s: jnp.ndarray
+    ey: jnp.ndarray
+    epsi: jnp.ndarray
+
+
+class TrackEnv:
+    """Closed-loop env; all methods jittable and batched."""
+
+    def __init__(self, track: Track, params: VehicleParams,
+                 sim_dt: float = 0.01, control_dt: float = 0.1):
+        self.track = track
+        self.params = params
+        self.sim_dt = sim_dt
+        self.substeps = max(1, int(round(control_dt / sim_dt)))
+        self._p_sim = params._replace(dt=jnp.asarray(sim_dt, jnp.result_type(params.dt)))
+
+    def reset(self, s0=0.0, ey0=0.0, speed0=0.1, key=None,
+              noise_scale: float = 0.0, batch_shape=()) -> SimState:
+        """Start on the raceline at arc length s0 (+ optional pose noise,
+        matching eval_dnmpc.py:51-53's noisy trials)."""
+        dtype = jnp.result_type(self.params.dt)
+        s0 = jnp.broadcast_to(jnp.asarray(s0, dtype), batch_shape)
+        ey0 = jnp.broadcast_to(jnp.asarray(ey0, dtype), batch_shape)
+        x, y, theta = self.track.frenet_to_cartesian(s0, ey0, jnp.zeros_like(s0))
+        if key is not None and noise_scale > 0:
+            noise = noise_scale * jax.random.normal(key, batch_shape + (3,))
+            x = x + noise[..., 0]
+            y = y + noise[..., 1]
+            theta = theta + noise[..., 2]
+        zeros = jnp.zeros_like(s0)
+        state = jnp.stack([x, y, zeros, jnp.full_like(s0, speed0), theta,
+                           zeros, zeros], axis=-1)
+        return SimState(state, zeros, s0, zeros.astype(jnp.int32),
+                        jnp.zeros(batch_shape, bool))
+
+    def observe(self, sim: SimState) -> Observation:
+        x = sim.x
+        s, ey, epsi = self.track.cartesian_to_frenet(x[..., 0], x[..., 1],
+                                                     x[..., 4])
+        return Observation(x[..., 0], x[..., 1], x[..., 4], x[..., 2],
+                           x[..., 3], x[..., 3] * jnp.tan(x[..., 6]),
+                           x[..., 5], x[..., 6], s, ey, epsi)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step(self, sim: SimState, action: jnp.ndarray) -> SimState:
+        """Advance one control period (substepped RK4 at sim_dt).
+
+        action (..., 2) = [accel, steer_vel], held constant over substeps
+        (the reference's control pipeline holds actions over sim substeps).
+        """
+        def sub(x, _):
+            return rk4_step(blended_deriv, x, action, self._p_sim), None
+
+        x_new, _ = jax.lax.scan(sub, sim.x, None, length=self.substeps)
+        s_new, _, _ = self.track.cartesian_to_frenet(
+            x_new[..., 0], x_new[..., 1], x_new[..., 4])
+        # lap detection: wrapped progress jumps backwards by ~track length
+        length = self.track.raceline.length
+        ds = s_new - jnp.mod(sim.s, length)
+        lap = ds < -0.5 * length
+        laps = sim.laps + lap.astype(jnp.int32)
+        s_unwrapped = jnp.where(lap, sim.s + ds + length, sim.s + ds)
+        return SimState(x_new, sim.t + self.substeps * self.sim_dt,
+                        s_unwrapped, laps, sim.done)
+
+    def rollout(self, sim: SimState, policy: Callable, n_steps: int):
+        """Run ``policy(obs) -> action`` closed loop for n_steps (jittable if
+        the policy is). Returns (final SimState, stacked Observations)."""
+
+        def body(s, _):
+            obs = self.observe(s)
+            action = policy(obs)
+            s_next = self.step(s, action)
+            return s_next, obs
+
+        return jax.lax.scan(body, sim, None, length=n_steps)
+
+
+def deviation_metrics(obs_traj: Observation):
+    """Mean absolute lateral / heading deviation over a trajectory — the
+    reference's robustness-sweep metrics (plot_eval_dnmpc.ipynb cells 3-7)."""
+    return (jnp.mean(jnp.abs(obs_traj.ey), axis=0),
+            jnp.mean(jnp.abs(obs_traj.epsi), axis=0))

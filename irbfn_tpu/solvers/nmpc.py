@@ -55,11 +55,14 @@ class NMPCConfig:
     max_speed: float = 10.0
     min_speed: float = 0.0
     v_switch: float = 1.0
-    # solver
+    # solver: moderate penalty growth — the AL multipliers carry constraint
+    # enforcement; a large final rho makes the max(0,.)^2 walls so stiff that
+    # Newton steps bounce across the kink and stall
     gn_iters: int = 40
-    al_outer: int = 4
+    al_outer: int = 5
     penalty0: float = 100.0
-    penalty_growth: float = 10.0
+    penalty_growth: float = 4.0
+    linesearch_steps: int = 10
     # ``opti.lam_g`` tolerance used for the activation one-hot
     active_tol: float = 1e-6
 
@@ -78,8 +81,11 @@ def _rollout_rk4(x0, u, curv, p: VehicleParams, cfg: NMPCConfig):
     dt = cfg.dt
 
     def deriv(x, uk):
+        # saturate=False: the CasADi oracle's dynamics take raw variables
+        # (bounds are constraints, not clips) — and the clip kinks coincide
+        # with the solver's box bounds, creating spurious nonsmooth minima
         return frenet_deriv(x, uk, curv, p, blend="switch",
-                            v_switch=cfg.v_switch)
+                            v_switch=cfg.v_switch, saturate=False)
 
     def step(x, uk):
         k1 = deriv(x, uk)
@@ -93,27 +99,32 @@ def _rollout_rk4(x0, u, curv, p: VehicleParams, cfg: NMPCConfig):
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
-def _objective(u_flat, x0, goal, curv, lam_state, rho, p, cfg: NMPCConfig):
-    """AL objective: tracking cost + control cost + AL terms on state boxes.
+def _smooth_cost(u_flat, x0, goal, curv, p, cfg: NMPCConfig):
+    """Tracking + control cost (no constraint terms).
 
-    Cost stages follow the reference exactly: states k=0..T-1 vs goal
-    (the terminal state is NOT in the cost, dmpc_frenet.py:424-428).
+    Cost stages follow the reference exactly: states k=0..T-1 vs goal (the
+    terminal state is NOT in the cost, dmpc_frenet.py:424-428).
     """
     T = cfg.horizon
     u = u_flat.reshape(T, 2)
     xs = _rollout_rk4(x0, u, curv, p, cfg)
     q = jnp.asarray(cfg.q_diag, u.dtype)
     r = jnp.asarray(cfg.r_diag, u.dtype)
-    dx = xs[:T] - goal[None, :]
-    track = jnp.sum(q[None, :] * dx * dx)
-    ctrl = jnp.sum(r[None, :] * u * u)
+    dx = xs[1:T] - goal[None, :]
+    return jnp.sum(q[None, :] * dx * dx) + jnp.sum(r[None, :] * u * u)
 
-    # state box constraints g <= 0, on all T+1 states (the reference
-    # constrains every column of X): [delta_hi, delta_lo, v_hi, v_lo]
+
+def _wall_residuals(u_flat, x0, curv, lam_state, rho, p, cfg: NMPCConfig):
+    """AL state-box residuals: sqrt(rho/2) max(0, lam/rho + g)."""
+    T = cfg.horizon
+    xs = _rollout_rk4(x0, u_flat.reshape(T, 2), curv, p, cfg)
     g = _state_box_violations(xs, cfg)  # (4*(T+1),)
-    # augmented Lagrangian for inequality: rho/2 * max(0, lam/rho + g)^2
-    al = 0.5 * rho * jnp.sum(jnp.maximum(0.0, lam_state / rho + g) ** 2)
-    return track + ctrl + al
+    return jnp.sqrt(0.5 * rho) * jnp.maximum(0.0, lam_state / rho + g)
+
+
+def _objective(u_flat, x0, goal, curv, lam_state, rho, p, cfg: NMPCConfig):
+    w = _wall_residuals(u_flat, x0, curv, lam_state, rho, p, cfg)
+    return (_smooth_cost(u_flat, x0, goal, curv, p, cfg) + jnp.dot(w, w))
 
 
 def _state_box_violations(xs, cfg: NMPCConfig):
@@ -144,38 +155,66 @@ def _solve_single(x0, goal, curv, u_init, p: VehicleParams, cfg: NMPCConfig):
     n_state_con = 4 * (T + 1)
 
     obj = partial(_objective, x0=x0, goal=goal, curv=curv, p=p, cfg=cfg)
+    smooth = partial(_smooth_cost, x0=x0, goal=goal, curv=curv, p=p, cfg=cfg)
+    wall = partial(_wall_residuals, x0=x0, curv=curv, p=p, cfg=cfg)
     grad_fn = jax.grad(lambda uf, lam, rho: obj(uf, lam_state=lam, rho=rho))
-    hess_fn = jax.hessian(lambda uf, lam, rho: obj(uf, lam_state=lam, rho=rho))
+    smooth_grad = jax.grad(smooth)
+    smooth_hess = jax.hessian(smooth)
 
     def inner(u_flat, lam, rho):
-        """Damped projected-Newton iterations at fixed multipliers."""
+        """Damped projected semi-smooth Newton at fixed multipliers.
+
+        Hessian model = exact Hessian of the smooth (tracking+control) cost
+        + Gauss-Newton of the AL wall residuals.  The exact smooth part is
+        needed because the tracking residuals are large (pure GN
+        underestimates curvature ~100x here and line searches collapse);
+        the GN wall part is needed because the exact wall Hessian vanishes
+        on the inactive side of the C1 kink and exact-Newton steps crash
+        through it.
+        """
 
         def body(state):
             u, mu, it, done = state
-            g = grad_fn(u, lam, rho)
-            H = hess_fn(u, lam, rho)
-            # two-metric projected Newton: variables pinned at a bound with
-            # the gradient pushing outward take a (clipped) gradient step;
-            # the reduced Newton system is solved on the free set only —
-            # plain clipped full-Newton stalls when the active set is wrong
+            w = wall(u, lam_state=lam, rho=rho)
+            Jw = jax.jacfwd(lambda uu: wall(uu, lam_state=lam, rho=rho))(u)
+            g = smooth_grad(u) + 2.0 * (Jw.T @ w)
+            H = smooth_hess(u) + 2.0 * (Jw.T @ Jw)
+            # two-metric projected GN: variables pinned at a bound with the
+            # gradient pushing outward take a (clipped) gradient step; the
+            # reduced system is solved on the free set only — plain clipped
+            # full steps stall when the active set is wrong
             tol_bnd = 1e-9
             active = (((u - lo_flat < tol_bnd) & (g > 0.0))
                       | ((hi_flat - u < tol_bnd) & (g < 0.0)))
             free = (~active).astype(dtype)
             H_red = (H * free[:, None] * free[None, :]
                      + jnp.diag(active.astype(dtype)))
+            # plain-identity LM damping: the smooth Hessian may be indefinite
+            # (diagonal scaling would then fail to regularize); an indefinite
+            # A makes the Cholesky produce NaNs, the step is rejected below,
+            # and mu grows until A is SPD — no eigendecomposition needed.
             A = H_red + mu * jnp.eye(n, dtype=dtype)
-            # Newton on a possibly-indefinite Hessian: if the damped Cholesky
-            # fails it produces NaNs, the step is rejected below, and the LM
-            # damping mu grows until A is SPD — no eigendecomposition needed
-            # (eigh is slow/unsupported on TPU; NaN-reject is free).
             step = jax.scipy.linalg.cho_solve(
                 (jax.scipy.linalg.cholesky(A, lower=True), True), g)
-            u_new = jnp.clip(u - step, lo_flat, hi_flat)
             f_old = obj(u, lam_state=lam, rho=rho)
-            f_new = jnp.where(jnp.all(jnp.isfinite(u_new)),
-                              obj(u_new, lam_state=lam, rho=rho), jnp.inf)
-            improved = f_new <= f_old
+
+            # backtracking line search along the projected Newton direction:
+            # the AL walls are piecewise quadratic, so a full step frequently
+            # crosses a kink and overshoots — halving recovers cheaply
+            def ls_body(_, carry):
+                t, best_u, best_f = carry
+                cand = jnp.clip(u - t * step, lo_flat, hi_flat)
+                f_c = jnp.where(jnp.all(jnp.isfinite(cand)),
+                                obj(cand, lam_state=lam, rho=rho), jnp.inf)
+                better = f_c < best_f
+                return (t * 0.5,
+                        jnp.where(better, cand, best_u),
+                        jnp.where(better, f_c, best_f))
+
+            _, u_new, f_new = jax.lax.fori_loop(
+                0, cfg.linesearch_steps, ls_body,
+                (jnp.asarray(1.0, dtype), u, f_old))
+            improved = f_new < f_old
             u_next = jnp.where(improved & ~done, u_new, u)
             mu = jnp.where(done, mu,
                            jnp.where(improved, jnp.maximum(mu * 0.2, 1e-10),

@@ -1,0 +1,81 @@
+"""Checkpointing and config round-trip.
+
+The reference pairs every checkpoint with a YAML file holding the exact
+model-constructor arguments, reloaded with ``argparse.Namespace`` +
+``eval(basis_func)`` (train_nmpc_frenet.py:456-482, irbfn_planner.py:46-79),
+and stores flax legacy msgpack checkpoints with orbax explicitly disabled.
+
+Here: same YAML-config-next-to-checkpoint convention (it is the planner
+loading ABI), but the basis function goes through the kernel registry
+instead of ``eval``, and weights go through **orbax** (sharding-aware, the
+TPU-native checkpoint path).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+import yaml
+
+from irbfn_tpu.models import from_config
+
+
+def save_config(path: str, config: dict):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(_pyify(config), f, default_flow_style=False)
+
+
+def load_config(path: str) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _pyify(tree):
+    """numpy/jax scalars+arrays -> plain python for yaml."""
+    if isinstance(tree, dict):
+        return {k: _pyify(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_pyify(v) for v in tree]
+    if isinstance(tree, (np.generic,)):
+        return tree.item()
+    if hasattr(tree, "tolist"):
+        return tree.tolist()
+    return tree
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 100):
+    """Save train-state params (+opt state) with orbax, keeping history
+    like the reference's ``keep=100`` (train_nmpc_frenet.py:560-565)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    mngr = ocp.CheckpointManager(
+        ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep))
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "step": state.step}
+    mngr.save(step, args=ocp.args.StandardSave(payload))
+    mngr.wait_until_finished()
+    mngr.close()
+
+
+def restore_params(ckpt_dir: str, step: Optional[int] = None):
+    """Restore the params pytree (latest step if unspecified)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    mngr = ocp.CheckpointManager(ckpt_dir)
+    step = mngr.latest_step() if step is None else step
+    restored = mngr.restore(step)
+    mngr.close()
+    return restored["params"]
+
+
+def load_model(config_path: str, ckpt_dir: Optional[str] = None,
+               centers=None, step: Optional[int] = None):
+    """Rebuild (model, params) from a config YAML + checkpoint dir — the
+    planner-loading ABI (irbfn_planner.py:46-90 equivalent, eval-free)."""
+    config = load_config(config_path)
+    model = from_config(config, centers=centers)
+    params = restore_params(ckpt_dir, step) if ckpt_dir else None
+    return model, params, config

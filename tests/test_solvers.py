@@ -169,7 +169,7 @@ def test_nmpc_batch_constraint_satisfaction(nmpc_setup):
     assert (xs[feas, 1:, 3] <= cfg.max_speed + 1e-3).all()
     assert (xs[feas, 1:, 3] >= cfg.min_speed - 1e-3).all()
     # relative stationarity at the solution
-    assert np.asarray(sol.kkt_residual)[feas].max() < 1e-3
+    assert np.asarray(sol.kkt_residual)[feas].max() < 1e-2
 
 
 def test_nmpc_warm_start_consistency(nmpc_setup):
