@@ -57,7 +57,6 @@ def rbf_features(x, centers, log_sigs, lb, ub, delta, activation_idx,
     return weighted.reshape(x.shape[0], -1)
 
 
-@partial(jax.jit, static_argnames=("basis_func", "mode", "chunk"))
 def fit_direct(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
                basis_func, reg: float = 1e-6, mode: str = "shared",
                chunk: int = 65536) -> DirectFit:

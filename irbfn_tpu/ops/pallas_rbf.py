@@ -1,0 +1,161 @@
+"""Pallas TPU kernel: fused region-blended RBF forward pass.
+
+The WCRBF forward pass (reference model.py:169-198 semantics) is, per batch
+row: region indicator -> per-region RBF features -> gamma-weighted region sum
+-> linear head.  XLA's fusion already does well here; this kernel goes
+further by keeping the entire (TILE_B, R, K) intermediate in VMEM — the
+(B, R, K) basis tensor never exists in HBM:
+
+  for each batch tile (grid dim 0):
+      load x tile (TILE_B, F)           [VMEM]
+      gamma = prod_d box indicators     (TILE_B, R)
+      for r in regions:                 (fori, unrolled by Mosaic)
+          d2   = ||x||^2 - 2 x C_r^T + ||C_r||^2     <- MXU matmul
+          feat += gamma[:, r] * basis(sqrt(d2)/sig_r)
+      out = feat @ W + b                               <- MXU matmul
+
+Layout notes: K and O are padded to lane width (128) by the caller wrapper;
+TILE_B is a multiple of 8 (f32 sublane).  The basis function is traced into
+the kernel body (elementwise, VPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _rbf_kernel(x_ref, centers_ref, inv_sigs_ref, lb_ref, ub_ref, delta_ref,
+                w_ref, b_ref, out_ref, *, basis_fn, num_regions):
+    x = x_ref[:]  # (TB, F)
+    lb = lb_ref[:]  # (R, D) with D == F (padded activation dims)
+    ub = ub_ref[:]
+    delta = delta_ref[:]  # (1, F)
+
+    # region indicator: product over feature dims of the two tanh gates;
+    # padded dims carry lb=-inf/ub=+inf so their gates are exactly 1
+    xe = x[:, None, :]  # (TB, 1, F)
+    lo_gate = 0.5 * (jnp.tanh(delta[None] * (xe - lb[None])) + 1.0)
+    hi_gate = 0.5 * (jnp.tanh(delta[None] * (ub[None] - xe)) + 1.0)
+    gamma = jnp.prod(lo_gate * hi_gate, axis=-1)  # (TB, R)
+
+    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (TB, 1)
+
+    def region_body(r, feat):
+        c = centers_ref[r]  # (K, F)
+        inv_sig = inv_sigs_ref[r]  # (K,)
+        c_sq = jnp.sum(c * c, axis=-1)  # (K,)
+        cross = jnp.dot(x, c.T, preferred_element_type=jnp.float32)
+        d = jnp.sqrt(jnp.maximum(x_sq - 2.0 * cross + c_sq[None, :], 1e-30))
+        phi = basis_fn(d * inv_sig[None, :])  # (TB, K)
+        return feat + gamma[:, r][:, None] * phi
+
+    feat = jax.lax.fori_loop(
+        0, num_regions, region_body,
+        jnp.zeros((x.shape[0], w_ref.shape[0]), jnp.float32))
+
+    out_ref[:] = jnp.dot(feat, w_ref[:],
+                         preferred_element_type=jnp.float32) + b_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("basis_fn", "tile_b", "interpret"))
+def wcrbf_forward_pallas(x, centers, log_sigs, lb, ub, delta, w, b,
+                         basis_fn, tile_b: int = 256,
+                         interpret: bool = False):
+    """Fused WCRBF forward pass.
+
+    Args:
+        x: (B, F) inputs
+        centers: (R, K, F); log_sigs: (R, K)
+        lb/ub: (R, D) region bounds over the activation dims; delta: (D,)
+        w: (K, O) head weights; b: (O,)
+    Returns:
+        (B, O) outputs (f32)
+
+    The wrapper pads B to tile_b, K/O to 128 lanes, and embeds the activation
+    dims into full feature width with +-inf bounds on non-split dims so the
+    kernel's indicator product is exact.
+    """
+    B, F = x.shape
+    R, K, _ = centers.shape
+    O = w.shape[1]
+    Kp = _round_up(K, 128)
+    Op = _round_up(O, 128)
+    Fp = _round_up(F, 128)
+    Bp = _round_up(B, tile_b)
+
+    f32 = jnp.float32
+    xp = jnp.zeros((Bp, Fp), f32).at[:B, :F].set(x.astype(f32))
+    cp = jnp.zeros((R, Kp, Fp), f32).at[:, :K, :F].set(centers.astype(f32))
+    # padded kernels: keep centers 0 but give them huge distance via sig so
+    # phi(pad) contributes ~0 for decaying bases; safer: zero head weights
+    inv_s = jnp.zeros((R, Kp), f32).at[:, :K].set(
+        jnp.exp(-log_sigs).astype(f32))
+    lbp = jnp.full((R, Fp), -1e30, f32).at[:, :lb.shape[1]].set(lb.astype(f32))
+    ubp = jnp.full((R, Fp), 1e30, f32).at[:, :ub.shape[1]].set(ub.astype(f32))
+    # lane-padded dims get delta=1 with +-inf bounds so their gates are
+    # exactly 1 (delta=0 would make tanh(0)=0 -> gate 0.5)
+    dp = jnp.ones((1, Fp), f32).at[0, :delta.shape[0]].set(delta.astype(f32))
+    wp = jnp.zeros((Kp, Op), f32).at[:K, :O].set(w.astype(f32))
+    bp = jnp.zeros((1, Op), f32).at[0, :O].set(b.astype(f32))
+
+    kernel = functools.partial(_rbf_kernel, basis_fn=basis_fn, num_regions=R)
+    grid = (Bp // tile_b,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, Fp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # x tile
+            pl.BlockSpec((R, Kp, Fp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # centers
+            pl.BlockSpec((R, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Op), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Op), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, Op), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Op), f32),
+        interpret=interpret,
+    )(xp, cp, inv_s, lbp, ubp, dp, wp, bp)
+    return out[:B, :O]
+
+
+def wcrbf_params_to_pallas(variables, model):
+    """Extract the pallas-kernel operand set from a WCRBFNet variables tree."""
+    from irbfn_tpu.models.wcrbf import build_region_bounds
+
+    col = variables.get("params", variables)
+    core = col["core"] if "core" in col else variables["constants"]["core"]
+    centers = core.get("centers",
+                       variables.get("constants", {}).get("core", {}).get("centers"))
+    log_sigs = core.get("log_sigs",
+                        variables.get("constants", {}).get("core", {}).get("log_sigs"))
+    head = col["head"]
+    lb, ub = build_region_bounds(model.lower_bounds, model.upper_bounds,
+                                 model.dimension_ranges, model.activation_idx)
+    # embed activation-dim bounds into full feature width
+    F = model.in_features
+    lb_full = np.full((model.num_regions, F), -1e30)
+    ub_full = np.full((model.num_regions, F), 1e30)
+    delta_full = np.ones((F,))  # non-split dims: gate==1 via +-inf bounds
+    for j, d in enumerate(model.activation_idx):
+        lb_full[:, d] = lb[:, j]
+        ub_full[:, d] = ub[:, j]
+        delta_full[d] = np.asarray(model.delta)[j]
+    return (jnp.asarray(centers), jnp.asarray(log_sigs),
+            jnp.asarray(lb_full), jnp.asarray(ub_full),
+            jnp.asarray(delta_full), jnp.asarray(head["kernel"]),
+            jnp.asarray(head["bias"]))

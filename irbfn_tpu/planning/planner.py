@@ -72,11 +72,12 @@ class IRBFNPlanner:
     def __init__(self, model, params, track: Track,
                  dyn_params: Optional[VehicleParams] = None,
                  mirror: bool = False, sv_ind: int = 5,
-                 horizon_time: float = 0.5):
+                 horizon_time: float = 0.5, dtype=jnp.float32):
         self.track = track
         self.mirror = mirror
         self.sv_ind = sv_ind
-        p = dyn_params or f1tenth_params()
+        self._dtype = dtype
+        p = (dyn_params or f1tenth_params()).astype(dtype)
         rl = track.raceline
         apply_fn = model.apply
 
@@ -98,11 +99,13 @@ class IRBFNPlanner:
             net_in = jnp.stack([v, lx, ly_m, lt_m, gv, beta, angv], axis=-1)
             u = apply_fn(net_params, jnp.atleast_2d(net_in))
             u = jnp.reshape(u, net_in.shape[:-1] + (u.shape[-1],))
+            u = u.astype(net_in.dtype)
             if self.mirror:
                 # un-mirror the steer-vel block (irbfn_planner.py:207-208)
                 T = u.shape[-1] - self.sv_ind
                 flip = jnp.concatenate([
-                    jnp.ones(u.shape[-1] - T), jnp.full((T,), -1.0)])
+                    jnp.ones(u.shape[-1] - T, u.dtype),
+                    jnp.full((T,), -1.0, u.dtype)])
                 u = jnp.where(need_m[..., None], u * flip, u)
             controls = jnp.stack(
                 [u[..., 0:u.shape[-1] // 2], u[..., u.shape[-1] // 2:]], axis=-1)
@@ -117,10 +120,9 @@ class IRBFNPlanner:
         self.last: Optional[PlanResult] = None
 
     def plan_batch(self, x, y, theta, delta, v, beta, angv) -> PlanResult:
-        res = self._plan_fn(self._params, jnp.asarray(x), jnp.asarray(y),
-                            jnp.asarray(theta), jnp.asarray(delta),
-                            jnp.asarray(v), jnp.asarray(beta),
-                            jnp.asarray(angv))
+        res = self._plan_fn(self._params,
+                            *(jnp.asarray(a, self._dtype) for a in
+                              (x, y, theta, delta, v, beta, angv)))
         self.last = res
         return res
 
@@ -144,9 +146,11 @@ class IRBFNFrenetPlanner:
 
     def __init__(self, model, params, track: Track,
                  dyn_params: Optional[VehicleParams] = None,
-                 mirror: bool = True, horizon: int = 5):
+                 mirror: bool = True, horizon: int = 5,
+                 dtype=jnp.float32):
         self.track = track
-        p = dyn_params or f1tenth_params()
+        self._dtype = dtype
+        p = (dyn_params or f1tenth_params()).astype(dtype)
         rl = track.raceline
         apply_fn = model.apply
         thresh = self.MIRROR_EY_THRESHOLD
@@ -161,8 +165,10 @@ class IRBFNFrenetPlanner:
                                 sign * epsi, curv], axis=-1)
             u = apply_fn(net_params, jnp.atleast_2d(net_in))
             u = jnp.reshape(u, net_in.shape[:-1] + (u.shape[-1],))
+            u = u.astype(net_in.dtype)
             T = u.shape[-1] // 2
-            flip = jnp.concatenate([jnp.ones((T,)), -jnp.ones((T,))])
+            flip = jnp.concatenate([jnp.ones((T,), u.dtype),
+                                    -jnp.ones((T,), u.dtype)])
             u = jnp.where(need_m[..., None], u * flip, u)
             controls = jnp.stack([u[..., :T], u[..., T:]], axis=-1)
             x0 = jnp.stack([s, ey, delta, vx, vy, wz, epsi], axis=-1)
@@ -177,8 +183,9 @@ class IRBFNFrenetPlanner:
         self.last: Optional[PlanResult] = None
 
     def plan_batch(self, s, ey, epsi, delta, vx, vy, wz) -> PlanResult:
-        res = self._plan_fn(self._params, *(jnp.asarray(a) for a in
-                                            (s, ey, epsi, delta, vx, vy, wz)))
+        res = self._plan_fn(self._params,
+                            *(jnp.asarray(a, self._dtype) for a in
+                              (s, ey, epsi, delta, vx, vy, wz)))
         self.last = res
         return res
 

@@ -1,0 +1,123 @@
+"""End-to-end minimum slice (SURVEY.md §7.2 / BASELINE.json configs #1-#3):
+
+1. solve a clothoid G1-Hermite goal lattice (datagen),
+2. fit an RBFN to the (goal -> spiral params) map — both the direct
+   Cholesky path and the gradient path,
+3. batched forward eval of a goal grid; integrate predicted spirals and
+   check endpoint error against the goals (the traj_out.png fan,
+   deprecated/evaluate.py:119-155 analogue).
+
+Plus the sharded-datagen path on the 8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irbfn_tpu.dynamics import integrate_endpoint_gl
+from irbfn_tpu.models import WCRBFNet, get_basis
+from irbfn_tpu.models.fit import choose_centers, fit_direct, rbf_features
+from irbfn_tpu.models.wcrbf import build_region_bounds
+from irbfn_tpu.parallel import GridSpec, build_lattice, solve_lattice_sharded
+from irbfn_tpu.solvers.clothoid import solve_g1_lattice, wrap_angle
+from irbfn_tpu.train import create_train_state
+
+
+def _lattice_and_table(nx=9, ny=9, nt=9):
+    grid = (GridSpec("x", 8.0, 20.0, nx), GridSpec("y", -4.0, 4.0, ny),
+            GridSpec("theta", -0.8, 0.8, nt))
+    goals = build_lattice(grid, dtype=np.float64)
+    params = np.asarray(solve_g1_lattice(jnp.asarray(goals)))
+    return goals, params
+
+
+@pytest.fixture(scope="module")
+def table():
+    return _lattice_and_table()
+
+
+def test_sharded_datagen_matches_direct(table):
+    """shard_map datagen over the 8-device CPU mesh == direct solve."""
+    goals, params_direct = table
+    out = solve_lattice_sharded(
+        lambda rows: solve_g1_lattice(rows), goals.astype(np.float64),
+        batch_per_device=128)
+    np.testing.assert_allclose(out, params_direct, rtol=1e-10, atol=1e-12)
+
+
+def test_direct_cholesky_fit_interpolates(table):
+    """Single-region gaussian RBFN via closed-form fit: small train error and
+    endpoint error through the integrator (config #1/#3)."""
+    goals, params = table
+    x = jnp.asarray(goals)
+    y = jnp.asarray(params)
+    centers, log_sigs = choose_centers(x, num_kernels=128, num_regions=1,
+                                       seed=0)
+    # pad region bounds beyond the data so the tanh gates don't taper the
+    # features at the lattice edges
+    lb = jnp.asarray([[goals[:, 0].min() - 1.0]])
+    ub = jnp.asarray([[goals[:, 0].max() + 1.0]])
+    delta = jnp.asarray([5.0])
+    fit = fit_direct(x, y, centers, log_sigs, lb, ub, delta, (0,),
+                     get_basis("gaussian"), reg=1e-8, chunk=1024)
+    pred = fit.predict(x, lb, ub, delta, (0,), get_basis("gaussian"))
+    train_err = float(jnp.abs(pred - y).mean())
+    assert train_err < 0.02
+
+    # integrate predicted spirals -> endpoint error vs the goal poses
+    end = integrate_endpoint_gl(pred)
+    pos_err = np.hypot(np.asarray(end[:, 0] - x[:, 0]),
+                       np.asarray(end[:, 1] - x[:, 1]))
+    th_err = np.abs(np.asarray(wrap_angle(end[:, 2] - x[:, 2])))
+    assert np.median(pos_err) < 0.2
+    assert np.median(th_err) < 0.05
+
+
+def test_gradient_fit_reduces_loss(table):
+    """Adam path on the same table: loss decreases substantially."""
+    import optax
+
+    goals, params = table
+    x = jnp.asarray(goals, jnp.float32)
+    y = jnp.asarray(params, jnp.float32)
+    # standardize targets (arc length dominates the raw scale)
+    y_mu, y_sd = y.mean(0), y.std(0) + 1e-6
+    y = (y - y_mu) / y_sd
+    model = WCRBFNet(
+        in_features=3, out_features=5, num_kernels=64,
+        basis_func=get_basis("gaussian_wide"), num_regions=1,
+        lower_bounds=[[8.0]], upper_bounds=[[20.0]],
+        dimension_ranges=[[0]], activation_idx=[0], delta=[5.0])
+    state = create_train_state(model, jax.random.PRNGKey(0), x[:8], lr=1e-2)
+
+    @jax.jit
+    def step(state, x, y):
+        def loss_fn(p):
+            pred = state.apply_fn(p, x)
+            return jnp.abs(pred - y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    losses = []
+    for i in range(500):
+        state, loss = step(state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0]
+
+
+def test_direct_fit_per_region_mode(table):
+    goals, params = table
+    x = jnp.asarray(goals)
+    y = jnp.asarray(params)
+    centers, log_sigs = choose_centers(x, num_kernels=32, num_regions=2,
+                                       seed=1)
+    lb = jnp.asarray([[8.0], [14.0]])
+    ub = jnp.asarray([[14.0], [20.0]])
+    delta = jnp.asarray([5.0])
+    fit = fit_direct(x, y, centers, log_sigs, lb, ub, delta, (0,),
+                     get_basis("gaussian"), reg=1e-8, mode="per_region",
+                     chunk=1024)
+    pred = fit.predict(x, lb, ub, delta, (0,), get_basis("gaussian"))
+    assert float(jnp.abs(pred - y).mean()) < 0.05

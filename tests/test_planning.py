@@ -1,0 +1,158 @@
+"""Planner-layer tests: explicit tables, bandits, learned planners."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irbfn_tpu.models import WCRBFNet, get_basis
+from irbfn_tpu.planning import (
+    EXP3,
+    ExplicitFrenetPlanner,
+    IRBFNFrenetPlanner,
+    grid_lookup,
+    grid_table_from_arrays,
+    nn_lookup,
+    nn_table_from_arrays,
+)
+from irbfn_tpu.sim import oval_track
+
+
+# ------------------------------------------------------------------- tables
+
+def _toy_table():
+    """3-D regular lattice with outputs = function of inputs."""
+    a = np.linspace(-1, 1, 5)
+    b = np.linspace(0, 2, 4)
+    c = np.linspace(-3, 3, 7)
+    A, B, C = np.meshgrid(a, b, c, indexing="ij")
+    inputs = np.stack([A, B, C], axis=-1).reshape(-1, 3)
+    outputs = np.stack([inputs.sum(1), inputs[:, 0] * 2], axis=-1)
+    return inputs, outputs
+
+
+def test_grid_lookup_exact_on_lattice():
+    inputs, outputs = _toy_table()
+    table = grid_table_from_arrays(inputs, outputs)
+    out, valid = grid_lookup(table, jnp.asarray(inputs, jnp.float32))
+    np.testing.assert_allclose(out, outputs, rtol=1e-5)
+    assert bool(valid.all())
+
+
+def test_grid_lookup_snaps_to_nearest():
+    inputs, outputs = _toy_table()
+    table = grid_table_from_arrays(inputs, outputs)
+    # query slightly off a lattice point snaps to it
+    q = jnp.asarray([[0.51, 0.6, 1.1]], jnp.float32)  # nearest: (0.5, 0.666, 1.0)
+    out, _ = grid_lookup(table, q)
+    expect_point = np.array([0.5, 2 / 3, 1.0])
+    np.testing.assert_allclose(out[0, 0], expect_point.sum(), atol=1e-5)
+
+
+def test_grid_lookup_invalid_rows():
+    inputs, outputs = _toy_table()
+    outputs = outputs.copy()
+    outputs[10] = -999.0
+    table = grid_table_from_arrays(inputs, outputs)
+    out, valid = grid_lookup(table, jnp.asarray(inputs[10:11], jnp.float32))
+    assert not bool(valid[0])
+
+
+def test_nn_lookup_matches_grid():
+    inputs, outputs = _toy_table()
+    gt = grid_table_from_arrays(inputs, outputs)
+    nt = nn_table_from_arrays(inputs, outputs)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(inputs + rng.normal(scale=0.01, size=inputs.shape),
+                    jnp.float32)
+    out_g, _ = grid_lookup(gt, q)
+    out_n, _ = nn_lookup(nt, q)
+    np.testing.assert_allclose(out_g, out_n, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------------- bandit
+
+def test_exp3_converges_to_best_arm():
+    bandit = EXP3(3, gamma=0.3, seed=0)
+    rewards = [0.1, 2.0, 0.3]
+    rng = np.random.default_rng(1)
+    pulls = []
+    for _ in range(300):
+        arm = bandit.pull_arm()
+        pulls.append(arm)
+        bandit.update_dist(arm, rewards[arm] + rng.normal(scale=0.05))
+    # best arm dominates late pulls
+    late = np.asarray(pulls[-100:])
+    assert (late == 1).mean() > 0.5
+    assert np.argmax(bandit.weights) == 1
+
+
+def test_exp3_reset():
+    bandit = EXP3(4, gamma=0.2)
+    bandit.pull_arm()
+    bandit.update_dist(0, 5.0)
+    bandit.reset()
+    np.testing.assert_allclose(bandit.weights, 1.0)
+
+
+# ------------------------------------------------------- learned planners
+
+@pytest.fixture(scope="module")
+def frenet_planner():
+    track = oval_track(n_samples=256)
+    model = WCRBFNet(
+        in_features=8, out_features=10, num_kernels=8,
+        basis_func=get_basis("gaussian"), num_regions=2,
+        lower_bounds=[[-2.0, 0.0]], upper_bounds=[[0.0, 2.0]],
+        dimension_ranges=[[0], [1]], activation_idx=[0], delta=[15.0])
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8)))
+    return IRBFNFrenetPlanner(model, params, track)
+
+
+def test_frenet_planner_batch_shapes(frenet_planner):
+    B = 64
+    rng = np.random.default_rng(0)
+    res = frenet_planner.plan_batch(
+        s=jnp.asarray(rng.uniform(0, 50, B)),
+        ey=jnp.asarray(rng.uniform(-0.5, 0.5, B)),
+        epsi=jnp.asarray(rng.uniform(-0.3, 0.3, B)),
+        delta=jnp.zeros(B), vx=jnp.full(B, 3.0), vy=jnp.zeros(B),
+        wz=jnp.zeros(B))
+    assert res.accel.shape == (B,)
+    assert res.pred_controls.shape == (B, 5, 2)
+    assert res.pred_states.shape == (B, 5, 7)
+
+
+def test_frenet_planner_mirror_consistency(frenet_planner):
+    """Mirrored state gives mirrored steering (the half-table trick)."""
+    common = dict(delta=jnp.zeros(2), vx=jnp.full(2, 3.0), vy=jnp.zeros(2),
+                  wz=jnp.zeros(2))
+    res = frenet_planner.plan_batch(
+        s=jnp.asarray([10.0, 10.0]), ey=jnp.asarray([0.4, -0.4]),
+        epsi=jnp.asarray([0.1, -0.1]), **common)
+    np.testing.assert_allclose(res.accel[0], res.accel[1], rtol=1e-5)
+    np.testing.assert_allclose(res.steer_vel[0], -res.steer_vel[1], rtol=1e-5)
+
+
+def test_frenet_planner_obs_api(frenet_planner):
+    obs = {"pose_x": 0.0, "pose_y": -7.4, "pose_theta": 0.0, "delta": 0.0,
+           "linear_vel_x": 3.0, "linear_vel_y": 0.0, "ang_vel_z": 0.0}
+    a, sv = frenet_planner.plan(obs)
+    assert np.isfinite(a) and np.isfinite(sv)
+
+
+def test_explicit_frenet_planner():
+    track = oval_track(n_samples=256)
+    # tiny synthetic frenet table on the 8-D grid layout
+    ey = np.linspace(-0.5, 0.5, 3)
+    other = [np.linspace(-0.1, 0.1, 2)] * 7
+    grids = np.meshgrid(ey, *other, indexing="ij")
+    inputs = np.stack([g.reshape(-1) for g in grids], axis=-1)
+    outputs = np.tile(inputs[:, :1], (1, 10))  # accel pattern = ey
+    table = grid_table_from_arrays(inputs, outputs)
+    planner = ExplicitFrenetPlanner(table, track)
+    out, valid = planner.plan_batch(
+        s=jnp.asarray([5.0]), ey=jnp.asarray([0.5]), epsi=jnp.asarray([0.0]),
+        delta=jnp.zeros(1), vx=jnp.zeros(1), vy=jnp.zeros(1), wz=jnp.zeros(1))
+    assert bool(valid[0])
+    np.testing.assert_allclose(out[0, 0], 0.5, atol=1e-6)

@@ -1,0 +1,123 @@
+"""Trainer-layer tests: losses, mirror augmentation, train step, checkpoints."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irbfn_tpu.dynamics.params import f1tenth_params
+from irbfn_tpu.models import ClusterWCRBFNet, WCRBFNet, from_config, get_basis
+from irbfn_tpu.train import (
+    cluster_fullint_loss,
+    create_train_state,
+    frenet_fullint_loss,
+    frenet_oneint_loss,
+    make_train_step,
+    mirror_frenet_table,
+    restore_params,
+    save_checkpoint,
+    save_config,
+    load_config,
+)
+
+
+def _frenet_model(out_features=10):
+    return WCRBFNet(
+        in_features=8, out_features=out_features, num_kernels=8,
+        basis_func=get_basis("gaussian"), num_regions=2,
+        lower_bounds=[[-2.0, 0.0]], upper_bounds=[[0.0, 2.0]],
+        dimension_ranges=[[0], [1]], activation_idx=[0], delta=[15.0])
+
+
+def _batch(n=16, t=5, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.column_stack([
+        rng.uniform(-0.5, 0.5, n), rng.uniform(-0.3, 0.3, n),
+        rng.uniform(1, 7, n), rng.uniform(-1, 1, n), rng.uniform(3, 7, n),
+        rng.uniform(-2, 2, n), rng.uniform(-0.5, 0.5, n),
+        rng.uniform(-0.1, 0.1, n)]).astype(np.float32)
+    y = rng.uniform(-1, 1, (n, 2 * t)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_mirror_frenet_table():
+    x, y = _batch(4)
+    xm, ym = mirror_frenet_table(np.asarray(x), np.asarray(y))
+    assert xm.shape[0] == 8 and ym.shape[0] == 8
+    np.testing.assert_allclose(xm[4:, 0], -np.asarray(x)[:, 0])  # ey flipped
+    np.testing.assert_allclose(xm[4:, 6], -np.asarray(x)[:, 6])  # epsi flipped
+    np.testing.assert_allclose(xm[4:, 1], np.asarray(x)[:, 1])  # delta kept
+    np.testing.assert_allclose(ym[4:, :5], np.asarray(y)[:, :5])  # accel kept
+    np.testing.assert_allclose(ym[4:, 5:], -np.asarray(y)[:, 5:])  # sv flipped
+
+
+def test_fullint_train_step_decreases_loss():
+    model = _frenet_model()
+    x, y = _batch(32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x, lr=1e-2)
+    dyn = f1tenth_params(dtype=jnp.float32).to_vector()
+    step = make_train_step(frenet_fullint_loss, dyn, donate=False)
+    _, m0 = step(state, x, y)
+    for _ in range(50):
+        state, m = step(state, x, y)
+    assert float(m.loss) < float(m0.loss)
+    assert m.cluster_loss is None
+    assert np.isfinite(float(m.pred_loss)) and np.isfinite(float(m.int_loss))
+
+
+def test_oneint_loss_weighting():
+    """x100 one-step integration weight (train_nmpc_frenet.py:372)."""
+    model = _frenet_model(out_features=2)
+    x, _ = _batch(8)
+    y = jnp.zeros((8, 2))
+    state = create_train_state(model, jax.random.PRNGKey(0), x)
+    dyn = f1tenth_params(dtype=jnp.float32).to_vector()
+    loss, (pred, inte) = frenet_oneint_loss(state.apply_fn, state.params, x,
+                                            y, dyn)
+    np.testing.assert_allclose(float(loss), float(pred) + float(inte),
+                               rtol=1e-6)
+
+
+def test_cluster_loss_path():
+    model = ClusterWCRBFNet(in_features=8, out_features=10, num_kernels=8,
+                            basis_func=get_basis("gaussian"), num_regions=4)
+    x, y = _batch(8)
+    onehot = jnp.eye(4)[np.random.default_rng(0).integers(0, 4, 8)]
+    state = create_train_state(model, jax.random.PRNGKey(0), x)
+    dyn = f1tenth_params(dtype=jnp.float32).to_vector()
+    step = make_train_step(cluster_fullint_loss, dyn, donate=False)
+    state, m = step(state, x, y, onehot)
+    assert m.cluster_loss is not None and np.isfinite(float(m.cluster_loss))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = _frenet_model()
+    x, y = _batch(4)
+    state = create_train_state(model, jax.random.PRNGKey(0), x)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, step=0)
+    restored = restore_params(ckpt_dir)
+    ref_flat, _ = jax.tree_util.tree_flatten(state.params)
+    got_flat, _ = jax.tree_util.tree_flatten(restored)
+    for a, b in zip(ref_flat, got_flat):
+        np.testing.assert_allclose(a, b)
+
+
+def test_config_roundtrip(tmp_path):
+    config = {
+        "in_features": 8, "out_features": 10, "num_kernels": 8,
+        "basis_func": "gaussian", "num_regions": 2,
+        "lower_bounds": [[-2.0, 0.0]], "upper_bounds": [[0.0, 2.0]],
+        "dimension_ranges": [[0], [1]], "activation_idx": [0],
+        "delta": [15.0], "lr": 1e-3, "seed": 0, "mu": 1.0, "cs": 5.0,
+    }
+    path = str(tmp_path / "conf.yaml")
+    save_config(path, config)
+    loaded = load_config(path)
+    assert loaded["basis_func"] == "gaussian"
+    model = from_config(loaded)
+    x, _ = _batch(2)
+    p = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(p, x).shape == (2, 10)
