@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Frenet NMPC table generation (reference
+scripts/nmpc_data_generator_frenet.py equivalent).
+
+The 8-D state lattice is solved by the batched AL/Newton NMPC on device,
+sharded across the mesh; the outer mu sweep reuses the compiled solver (mu
+enters as data, not as a recompile). Output npz has the reference layout:
+``inputs`` (N, 8), ``outputs`` (N, T, 2), ``constraints`` (N, 86) with -999
+sentinel rows for infeasible points, plus ``valid``.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from irbfn_tpu.dynamics.params import fullscale_params
+from irbfn_tpu.parallel import (GridSpec, build_lattice, frenet_table,
+                                save_table, solve_lattice_sharded)
+from irbfn_tpu.solvers import NMPCConfig, solve_lattice_point
+from irbfn_tpu.utils.args import add_frenet_grid_args, add_io_args, add_vehicle_args
+
+
+def main():
+    p = argparse.ArgumentParser()
+    add_frenet_grid_args(p)
+    add_vehicle_args(p)
+    add_io_args(p)
+    p.add_argument("--batch_per_device", type=int, default=8192)
+    args = p.parse_args()
+
+    dims = ["ey", "delta", "vx_car", "vy_car", "vx_goal", "wz", "epsi", "curv"]
+    grid = tuple(
+        GridSpec(d, getattr(args, f"{d}_min"), getattr(args, f"{d}_max"),
+                 getattr(args, f"num_{d}")) for d in dims)
+    rows = build_lattice(grid, dtype=np.float32)
+    print(f"lattice: {rows.shape[0]:,} NMPC problems")
+
+    mus = ([args.mu] if args.mu_min is None else
+           list(np.arange(args.mu_min, args.mu_max + args.d_mu, args.d_mu)))
+    cfg = NMPCConfig()
+    for mu in mus[::-1]:
+        params = fullscale_params(mu=float(mu), cs=args.cs)
+        t0 = time.time()
+        sol = solve_lattice_sharded(
+            lambda r: solve_lattice_point(r, params, cfg), rows,
+            batch_per_device=args.batch_per_device)
+        dt = time.time() - t0
+        feas = float(np.asarray(sol.feasible).mean())
+        print(f"mu={mu:.2f}: {rows.shape[0] / dt:,.0f} solves/s, "
+              f"{100 * feas:.1f}% feasible")
+        table = frenet_table(rows, sol)
+        name = "x".join(str(g.num) for g in grid)
+        out = (f"{args.save_path}/frenet_table_{name}_mu{mu:.2f}_"
+               f"cs{args.cs}{args.run_tag}.npz")
+        save_table(out, table)
+        print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

