@@ -15,14 +15,18 @@ import numpy as np
 
 
 def _time_op(fn, *args, warmup=2, iters=10):
-    import jax
+    """Median wall time with a device->host scalar fetch as the sync point.
 
+    block_until_ready alone under-reports through the remote (axon) TPU
+    tunnel (async dispatch returns early); fetching a reduced checksum
+    forces real completion. ``fn`` must return a scalar.
+    """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -42,7 +46,7 @@ def bench_bvp_solves(n_points: int = 1 << 20):
         rng.uniform(-1.57, 1.57, n_points),
     ]).astype(np.float32)
     goals = jnp.asarray(goals)
-    fn = jax.jit(lambda g: solve_g1_lattice(g))
+    fn = jax.jit(lambda g: jnp.sum(solve_g1_lattice(g)))
     dt = _time_op(fn, goals)
     return n_points / dt
 
@@ -54,15 +58,22 @@ def bench_plan_latency(batch: int = 1024):
 
     from __graft_entry__ import entry
 
+    import jax.numpy as jnp
+
     fn, (variables, x) = entry()
-    jfn = jax.jit(fn)
+    jfn = jax.jit(lambda v, xx: jnp.sum(fn(v, xx)))
     assert x.shape[0] == batch
-    return _time_op(jfn, variables, x, warmup=3, iters=30)
+    # subtract the measured null-op round-trip (tunnel RTT) so the number
+    # reflects on-device latency, and report both
+    null = jax.jit(lambda v, xx: jnp.float32(0.0))
+    rtt = _time_op(null, variables, x, warmup=3, iters=30)
+    total = _time_op(jfn, variables, x, warmup=3, iters=30)
+    return total, rtt
 
 
 def main():
     solves_per_sec = bench_bvp_solves()
-    latency_s = bench_plan_latency()
+    latency_s, rtt_s = bench_plan_latency()
     baseline_per_chip = 1e5 / 8.0  # v5e-8 north-star, per chip
     print(json.dumps({
         "metric": "clothoid_bvp_solves_per_sec_per_chip",
@@ -70,7 +81,10 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / baseline_per_chip, 3),
         "extra": {
-            "plan_latency_batch1024_p50_ms": round(latency_s * 1e3, 4),
+            "plan_latency_batch1024_p50_ms": round(
+                max(latency_s - rtt_s, 0.0) * 1e3, 4),
+            "plan_latency_incl_rtt_ms": round(latency_s * 1e3, 4),
+            "host_rtt_ms": round(rtt_s * 1e3, 4),
         },
     }))
 

@@ -120,6 +120,67 @@ def blended_deriv(x: jnp.ndarray, u: jnp.ndarray, p: VehicleParams,
     return jnp.where(use_dyn, st_deriv(x, u, p), ks_deriv(x, u, p))
 
 
+def st_mixed_deriv(x: jnp.ndarray, u: jnp.ndarray, p: VehicleParams,
+                   v_s: float = 3.0, v_b: float = 0.1) -> jnp.ndarray:
+    """Tanh-blended kinematic/dynamic single-track derivative, batched.
+
+    The Cartesian NMPC oracle's model (reference nonlinear_dmpc.py:259-325):
+    below ``v_s`` a kinematic model *with sideslip geometry* (beta and its
+    derivative follow from the steering geometry), above it the dynamic
+    single-track, mixed with ``w = 0.5 (tanh((v - v_s)/v_b) + 1)`` and then
+    hard-switched at ``v_s``.  Unsaturated (raw controls/states) — this is
+    the solver-side model; bounds are handled by the optimizer.
+    """
+    delta = x[..., IDELTA]
+    v = x[..., IV]
+    psi = x[..., IPSI]
+    psi_dot = x[..., IPSIDOT]
+    beta = x[..., IBETA]
+    accl = u[..., 0]
+    sv = u[..., 1]
+
+    wb = p.lf + p.lr
+    load_f = G * p.lr - accl * p.h
+    load_r = G * p.lf + accl * p.h
+    v_safe = jnp.where(jnp.abs(v) < 1e-2, jnp.where(v < 0, -1e-2, 1e-2), v)
+
+    # slow (kinematic-with-sideslip) yaw/yaw-rate/beta derivatives
+    tan_d = jnp.tan(delta)
+    cos_d2 = jnp.cos(delta) ** 2
+    dyaw_slow = v * jnp.cos(beta) * tan_d / wb
+    dbeta_slow = (p.lr * sv) / (wb * cos_d2 * (1.0 + (tan_d * p.lr / wb) ** 2))
+    dyawrate_slow = (1.0 / wb) * (
+        accl * jnp.cos(beta) * tan_d
+        - v * jnp.sin(beta) * tan_d * dbeta_slow
+        + v * jnp.cos(beta) * sv / cos_d2)
+
+    # fast (dynamic single-track) yaw-rate/beta derivatives
+    dyaw_fast = psi_dot
+    dyawrate_fast = (
+        -p.mu * p.m / (v_safe * p.I * wb)
+        * (p.lf**2 * p.C_Sf * load_f + p.lr**2 * p.C_Sr * load_r) * psi_dot
+        + p.mu * p.m / (p.I * wb)
+        * (p.lr * p.C_Sr * load_r - p.lf * p.C_Sf * load_f) * beta
+        + p.mu * p.m / (p.I * wb) * p.lf * p.C_Sf * load_f * delta)
+    dbeta_fast = (
+        (p.mu / (v_safe**2 * wb)
+         * (p.C_Sr * load_r * p.lr - p.C_Sf * load_f * p.lf) - 1.0) * psi_dot
+        - p.mu / (v_safe * wb) * (p.C_Sr * load_r + p.C_Sf * load_f) * beta
+        + p.mu / (v_safe * wb) * p.C_Sf * load_f * delta)
+
+    w = 0.5 * (jnp.tanh((v - v_s) / v_b) + 1.0)
+    # mixed model, hard-selected against pure-slow below v_s (ref :325)
+    sel = v > v_s
+    dyaw = jnp.where(sel, w * dyaw_fast + (1 - w) * dyaw_slow, dyaw_slow)
+    dyawrate = jnp.where(sel, w * dyawrate_fast + (1 - w) * dyawrate_slow,
+                         dyawrate_slow)
+    dbeta = jnp.where(sel, w * dbeta_fast + (1 - w) * dbeta_slow, dbeta_slow)
+
+    return jnp.stack(
+        [v * jnp.cos(psi + beta), v * jnp.sin(psi + beta), sv, accl,
+         dyaw, dyawrate, dbeta], axis=-1)
+
+
 def _bcast_dt(dt):
     """dt may be scalar or batched over leading axes; add a state-dim axis."""
     dt = jnp.asarray(dt)

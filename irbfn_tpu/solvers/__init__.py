@@ -13,6 +13,9 @@ from irbfn_tpu.solvers.clothoid import (
 )
 from irbfn_tpu.solvers.lm import LMResult, levenberg_marquardt
 from irbfn_tpu.solvers.nmpc import (
+    cartesian_config,
+    kinematic_config,
+    solve_cartesian_point,
     NMPCConfig,
     NMPCSolution,
     solve_lattice_point,
@@ -22,5 +25,6 @@ from irbfn_tpu.solvers.nmpc import (
 __all__ = [
     "ClothoidSolution", "solve_g1_hermite", "solve_g1_lattice", "wrap_angle",
     "LMResult", "levenberg_marquardt", "NMPCConfig", "NMPCSolution",
-    "solve_lattice_point", "solve_nmpc_batch",
+    "solve_lattice_point", "solve_nmpc_batch", "cartesian_config",
+    "kinematic_config", "solve_cartesian_point",
 ]

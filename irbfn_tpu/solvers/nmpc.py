@@ -38,6 +38,7 @@ import numpy as np
 
 from irbfn_tpu.dynamics.frenet import frenet_deriv
 from irbfn_tpu.dynamics.params import VehicleParams, fullscale_params
+from irbfn_tpu.dynamics.single_track import st_mixed_deriv
 
 
 @dataclass(frozen=True)
@@ -48,6 +49,13 @@ class NMPCConfig:
     dt: float = 0.1
     q_diag: tuple = (0.0, 65.0, 0.0, 0.5, 5.0, 0.0, 15.0)
     r_diag: tuple = (0.01, 1.0)
+    # terminal-state weight: the Frenet oracle has none (cost stages are
+    # X[:,0..T-1], dmpc_frenet.py:424-428); the Cartesian oracle adds Qf on
+    # X[:,T] (nonlinear_dmpc.py:349)
+    qf_diag: tuple | None = None
+    # dynamics model: "frenet" (speed-switched frenet ST) or "cartesian"
+    # (tanh-blended cartesian ST, nonlinear_dmpc.py:259-325)
+    model: str = "frenet"
     # boxes
     max_accel: float = 9.51
     max_dsteer: float = float(np.pi)
@@ -80,12 +88,25 @@ def _rollout_rk4(x0, u, curv, p: VehicleParams, cfg: NMPCConfig):
     """RK4 roll of (T, 2) controls from x0 (7,). Returns (T+1, 7)."""
     dt = cfg.dt
 
-    def deriv(x, uk):
-        # saturate=False: the CasADi oracle's dynamics take raw variables
-        # (bounds are constraints, not clips) — and the clip kinks coincide
-        # with the solver's box bounds, creating spurious nonsmooth minima
-        return frenet_deriv(x, uk, curv, p, blend="switch",
-                            v_switch=cfg.v_switch, saturate=False)
+    if cfg.model == "cartesian":
+        def deriv(x, uk):
+            return st_mixed_deriv(x, uk, p)
+    elif cfg.model == "kinematic":
+        def deriv(x, uk):
+            # pure kinematic bicycle in the 7-dim layout (reference
+            # nonlinear_kmpc.py model; psi_dot/beta slots inert)
+            v, psi, delta = x[..., 3], x[..., 4], x[..., 2]
+            zero = jnp.zeros_like(v)
+            return jnp.stack(
+                [v * jnp.cos(psi), v * jnp.sin(psi), uk[..., 1], uk[..., 0],
+                 v * jnp.tan(delta) / (p.lf + p.lr), zero, zero], axis=-1)
+    else:
+        def deriv(x, uk):
+            # saturate=False: the CasADi oracle's dynamics take raw variables
+            # (bounds are constraints, not clips) — and the clip kinks coincide
+            # with the solver's box bounds, creating spurious nonsmooth minima
+            return frenet_deriv(x, uk, curv, p, blend="switch",
+                                v_switch=cfg.v_switch, saturate=False)
 
     def step(x, uk):
         k1 = deriv(x, uk)
@@ -111,7 +132,12 @@ def _smooth_cost(u_flat, x0, goal, curv, p, cfg: NMPCConfig):
     q = jnp.asarray(cfg.q_diag, u.dtype)
     r = jnp.asarray(cfg.r_diag, u.dtype)
     dx = xs[1:T] - goal[None, :]
-    return jnp.sum(q[None, :] * dx * dx) + jnp.sum(r[None, :] * u * u)
+    cost = jnp.sum(q[None, :] * dx * dx) + jnp.sum(r[None, :] * u * u)
+    if cfg.qf_diag is not None:
+        qf = jnp.asarray(cfg.qf_diag, u.dtype)
+        dterm = xs[T] - goal
+        cost = cost + jnp.sum(qf * dterm * dterm)
+    return cost
 
 
 def _wall_residuals(u_flat, x0, curv, lam_state, rho, p, cfg: NMPCConfig):
@@ -347,3 +373,56 @@ def solve_lattice_point(row: jnp.ndarray, params: VehicleParams,
                     row[..., 2], row[..., 3], row[..., 5], row[..., 6]], axis=-1)
     goal = jnp.zeros_like(x0).at[..., 3].set(row[..., 4])
     return solve_nmpc_batch(x0, goal, row[..., 7], params, cfg)
+
+
+def cartesian_config(**overrides) -> NMPCConfig:
+    """Cartesian NMPC problem constants (reference nonlinear_dmpc.py
+    mpc_config:11-49): goal-reaching cost on (x, y, v), terminal Qf, tighter
+    accel/speed boxes for the F1TENTH-scale car."""
+    kw = dict(
+        model="cartesian",
+        q_diag=(18.5, 18.5, 0.0, 1.5, 0.0, 0.0, 0.0),
+        qf_diag=(18.5, 18.5, 0.0, 1.5, 0.0, 0.0, 0.0),
+        r_diag=(0.5, 4.0),
+        max_accel=3.0,
+        max_dsteer=float(np.pi),
+        max_steer=0.4189,
+        max_speed=6.0,
+        min_speed=0.0,
+    )
+    kw.update(overrides)
+    return NMPCConfig(**kw)
+
+
+def kinematic_config(**overrides) -> NMPCConfig:
+    """Kinematic goal-reaching NMPC (reference nonlinear_kmpc.py
+    mpc_config:8-35): same 7-dim layout with the blend pinned to the
+    kinematic regime via a huge switch speed."""
+    kw = dict(
+        model="kinematic",
+        q_diag=(18.5, 18.5, 0.0, 3.5, 0.1, 0.0, 0.0),
+        qf_diag=(18.5, 18.5, 0.0, 3.5, 0.1, 0.0, 0.0),
+        r_diag=(0.01, 100.0),
+        max_accel=3.0,
+        max_dsteer=float(np.pi),
+        max_steer=0.4189,
+        max_speed=7.0,
+        min_speed=0.0,
+    )
+    kw.update(overrides)
+    return NMPCConfig(**kw)
+
+
+def solve_cartesian_point(row: jnp.ndarray, params: VehicleParams,
+                          cfg: NMPCConfig | None = None) -> NMPCSolution:
+    """Cartesian datagen ABI: one row ``[v_car, x_goal, y_goal, t_goal,
+    v_goal, beta, angv]`` (scripts/nmpc_data_generator.py:36-65 grid order)
+    -> solution from x0=[0,0,0,v_car,0,angv,beta] toward
+    goal=[x_g,y_g,0,v_g,t_g,0,0]."""
+    cfg = cfg or cartesian_config()
+    zeros = jnp.zeros_like(row[..., 0])
+    x0 = jnp.stack([zeros, zeros, zeros, row[..., 0], zeros, row[..., 6],
+                    row[..., 5]], axis=-1)
+    goal = jnp.stack([row[..., 1], row[..., 2], zeros, row[..., 4],
+                      row[..., 3], zeros, zeros], axis=-1)
+    return solve_nmpc_batch(x0, goal, zeros, params, cfg)

@@ -1,0 +1,168 @@
+"""Batched ADMM quadratic programming (OSQP replacement, native component N4).
+
+The reference's deprecated goal-MPC pipeline solves linear-kinematic MPC QPs
+with cvxpy/OSQP and cvxpygen-generated C (deprecated/goal_mpc_node.py:11-16,
+2D_quadrotor_MPC.py) — per-problem native calls behind a process pool.  Here
+the OSQP algorithm itself (ADMM splitting on ``Ax = z``, z boxed) is a
+fixed-iteration jittable loop, vmapped across problem lattices:
+
+    min 0.5 x^T P x + q^T x   s.t.  lo <= A x <= hi
+
+Factorize once per problem (the KKT matrix is iteration-invariant for fixed
+rho), iterate x/z/u updates; thousands of small factorizations batch on the
+MXU.  Also provides a condensed linear-MPC builder (the goal-MPC problem
+family) on top.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class QPSolution(NamedTuple):
+    x: jnp.ndarray  # (..., n)
+    primal_residual: jnp.ndarray  # (...,)
+    dual_residual: jnp.ndarray  # (...,)
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _solve_single_qp(P, q, A, lo, hi, rho, sigma, iters, tol):
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+    kkt = P + sigma * jnp.eye(n, dtype=dtype) + rho * (A.T @ A)
+    chol = jax.scipy.linalg.cholesky(kkt, lower=True)
+
+    def body(state):
+        x, z, u, it, done = state
+        rhs = sigma * x - q + A.T @ (rho * (z - u))
+        x_new = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        ax = A @ x_new
+        z_new = jnp.clip(ax + u, lo, hi)
+        u_new = u + ax - z_new
+        r_prim = jnp.linalg.norm(ax - z_new)
+        r_dual = rho * jnp.linalg.norm(A.T @ (z_new - z))
+        new_done = done | ((r_prim < tol) & (r_dual < tol))
+        return x_new, z_new, u_new, it + 1, new_done
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (it < iters) & ~done
+
+    x0 = jnp.zeros((n,), dtype)
+    z0 = jnp.clip(A @ x0, lo, hi)
+    u0 = jnp.zeros((m,), dtype)
+    x, z, u, it, done = jax.lax.while_loop(cond, body, (x0, z0, u0, 0, False))
+    ax = A @ x
+    r_prim = jnp.linalg.norm(ax - jnp.clip(ax, lo, hi))
+    r_dual = jnp.linalg.norm(P @ x + q + A.T @ (rho * u))
+    return QPSolution(x, r_prim, r_dual, it, done)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def solve_qp_batch(P, q, A, lo, hi, rho: float = 0.1, sigma: float = 1e-6,
+                   iters: int = 2000, tol: float = 1e-8) -> QPSolution:
+    """Solve a batch of box-constrained QPs.
+
+    Args:
+        P: (..., n, n) PSD cost; q: (..., n); A: (..., m, n); lo/hi: (..., m)
+    """
+    batch_shape = q.shape[:-1]
+    solve = partial(_solve_single_qp, rho=rho, sigma=sigma, iters=iters,
+                    tol=tol)
+    if not batch_shape:
+        return solve(P, q, A, lo, hi)
+    flat = lambda a, tail: a.reshape((-1,) + a.shape[len(batch_shape):])
+    out = jax.vmap(solve)(flat(P, 2), flat(q, 1), flat(A, 2), flat(lo, 1),
+                          flat(hi, 1))
+    return QPSolution(*[jnp.reshape(o, batch_shape + o.shape[1:]) for o in out])
+
+
+# ------------------------------------------------------------- linear MPC
+
+class LinearMPC(NamedTuple):
+    """Condensed linear MPC: x_{k+1} = Ad x_k + Bd u_k, boxed controls and
+    selected boxed states, quadratic goal-tracking cost.
+
+    This is the problem family of the reference's goal-MPC / 2D-quadrotor
+    pipelines (deprecated/goal_mpc_node.py, 2D_quadrotor_MPC.py:7-60).
+    """
+
+    Ad: jnp.ndarray  # (nx, nx)
+    Bd: jnp.ndarray  # (nx, nu)
+    Q: jnp.ndarray  # (nx,) stage state weights
+    Qf: jnp.ndarray  # (nx,) terminal weights
+    R: jnp.ndarray  # (nu,) control weights
+    horizon: int
+    u_lo: jnp.ndarray  # (nu,)
+    u_hi: jnp.ndarray
+
+
+def condense(mpc: LinearMPC):
+    """Prediction matrices: X = Sx x0 + Su U (U stacked (T*nu,))."""
+    nx, nu = mpc.Bd.shape
+    T = mpc.horizon
+    Ad, Bd = np.asarray(mpc.Ad), np.asarray(mpc.Bd)
+    powers = [np.eye(nx)]
+    for _ in range(T):
+        powers.append(Ad @ powers[-1])
+    Sx = np.concatenate([powers[k] for k in range(1, T + 1)], axis=0)
+    Su = np.zeros((T * nx, T * nu))
+    for k in range(1, T + 1):
+        for j in range(k):
+            Su[(k - 1) * nx:k * nx, j * nu:(j + 1) * nu] = (
+                powers[k - 1 - j] @ Bd)
+    return jnp.asarray(Sx), jnp.asarray(Su)
+
+
+def solve_linear_mpc_batch(mpc: LinearMPC, x0: jnp.ndarray,
+                           goal: jnp.ndarray, iters: int = 500) -> jnp.ndarray:
+    """Batched condensed linear-MPC solve -> controls (..., T, nu).
+
+    Cost: sum_k (x_k-g)^T Q (x_k-g) + u^T R u + terminal Qf; boxed controls.
+    """
+    nx, nu = mpc.Bd.shape
+    T = mpc.horizon
+    Sx, Su = condense(mpc)
+    qw = jnp.concatenate([jnp.tile(mpc.Q, T - 1), mpc.Qf])  # (T*nx,)
+    rw = jnp.tile(mpc.R, T)
+
+    # P = Su^T diag(qw) Su + diag(rw); q = Su^T diag(qw) (Sx x0 - g_rep)
+    W_Su = qw[:, None] * Su
+    P = Su.T @ W_Su + jnp.diag(rw)
+    g_rep = jnp.tile(goal, (1,) * (goal.ndim - 1) + (T,))
+    resid = jnp.einsum("ij,...j->...i", Sx, x0) - g_rep
+    q = jnp.einsum("ji,...j->...i", W_Su, resid)
+
+    batch_shape = q.shape[:-1]
+    n = T * nu
+    A = jnp.eye(n)
+    lo = jnp.tile(mpc.u_lo, T)
+    hi = jnp.tile(mpc.u_hi, T)
+    P_b = jnp.broadcast_to(P, batch_shape + P.shape)
+    A_b = jnp.broadcast_to(A, batch_shape + A.shape)
+    lo_b = jnp.broadcast_to(lo, batch_shape + lo.shape)
+    hi_b = jnp.broadcast_to(hi, batch_shape + hi.shape)
+    sol = solve_qp_batch(P_b, q, A_b, lo_b, hi_b, iters=iters)
+    return sol.x.reshape(batch_shape + (T, nu)), sol
+
+
+def double_integrator_mpc(dt: float = 0.1, horizon: int = 10,
+                          u_max: float = 2.0) -> LinearMPC:
+    """2-D double-integrator MPC (the quadrotor domain,
+    deprecated/2D_quadrotor_MPC.py): state [px, py, vx, vy], control [ax, ay]."""
+    Ad = jnp.asarray([[1, 0, dt, 0], [0, 1, 0, dt],
+                      [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32)
+    Bd = jnp.asarray([[0.5 * dt**2, 0], [0, 0.5 * dt**2],
+                      [dt, 0], [0, dt]], jnp.float32)
+    return LinearMPC(Ad, Bd, Q=jnp.asarray([10.0, 10.0, 1.0, 1.0]),
+                     Qf=jnp.asarray([50.0, 50.0, 5.0, 5.0]),
+                     R=jnp.asarray([0.1, 0.1]), horizon=horizon,
+                     u_lo=jnp.asarray([-u_max, -u_max]),
+                     u_hi=jnp.asarray([u_max, u_max]))

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Cartesian NMPC table generation (reference scripts/nmpc_data_generator.py
+equivalent): 7-D (v_car, x_goal, y_goal, t_goal, v_goal, beta, angv) lattice
+solved by the batched Cartesian AL/Newton NMPC, sharded over the mesh."""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from irbfn_tpu.dynamics.params import f1tenth_params
+from irbfn_tpu.parallel import GridSpec, build_lattice, save_table, solve_lattice_sharded
+from irbfn_tpu.solvers import cartesian_config, solve_cartesian_point
+from irbfn_tpu.utils.args import add_io_args, add_vehicle_args
+
+
+def main():
+    p = argparse.ArgumentParser()
+    # 7-D grid, defaults matching reference arg_utils.py:4-27 (step-based)
+    for name, lo, hi, step in [
+        ("v_car", 0.0, 7.0, 1.0), ("x_goal", 0.0, 3.5, 0.2),
+        ("y_goal", 0.0, 3.5, 0.2), ("t_goal", -3.1, 3.1, 0.1),
+        ("v_goal", 0.0, 7.0, 1.0), ("beta", -0.6, 0.6, 0.2),
+        ("angv_z", -3.0, 3.0, 0.5),
+    ]:
+        p.add_argument(f"--{name}_min", type=float, default=lo)
+        p.add_argument(f"--{name}_max", type=float, default=hi)
+        p.add_argument(f"--d_{name}", type=float, default=step)
+    add_vehicle_args(p)
+    add_io_args(p)
+    p.add_argument("--batch_per_device", type=int, default=8192)
+    args = p.parse_args()
+
+    dims = ["v_car", "x_goal", "y_goal", "t_goal", "v_goal", "beta", "angv_z"]
+    grid = []
+    for d in dims:
+        lo = getattr(args, f"{d}_min")
+        hi = getattr(args, f"{d}_max")
+        st = getattr(args, f"d_{d}")
+        num = int(round((hi - lo) / st)) + 1
+        grid.append(GridSpec(d, lo, hi, num))
+    rows = build_lattice(tuple(grid), dtype=np.float32)
+    print(f"lattice: {rows.shape[0]:,} NMPC problems")
+
+    params = f1tenth_params(mu=args.mu, cs=args.cs)
+    cfg = cartesian_config()
+    t0 = time.time()
+    sol = solve_lattice_sharded(
+        lambda r: solve_cartesian_point(r, params, cfg), rows,
+        batch_per_device=args.batch_per_device)
+    dt = time.time() - t0
+    feas = float(np.asarray(sol.feasible).mean())
+    print(f"{rows.shape[0] / dt:,.0f} solves/s, {100 * feas:.1f}% feasible")
+
+    accel = np.asarray(sol.accel)
+    sv = np.asarray(sol.steer_vel)
+    outputs = np.concatenate([accel, sv], axis=-1)  # (N, 2T) ref layout
+    valid = np.asarray(sol.feasible)
+    outputs[~valid] = -999.0
+    name = "x".join(str(g.num) for g in grid)
+    out = (f"{args.save_path}/cart_table_{name}_mu{args.mu}_cs{args.cs}"
+           f"{args.run_tag}.npz")
+    save_table(out, {"inputs": rows, "outputs": outputs, "valid": valid})
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()
