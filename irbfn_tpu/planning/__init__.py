@@ -26,3 +26,13 @@ __all__ = [
     "nn_table_from_arrays", "AdaptiveIRBFNPlanner", "IRBFNFrenetPlanner",
     "IRBFNPlanner", "NMPCPlanner", "PlanResult",
 ]
+
+from irbfn_tpu.planning.lattice import (  # noqa: E402
+    LatticePlan,
+    LatticePlanner,
+    plan_lattice,
+    sample_lookahead_grid,
+)
+
+__all__ += ["LatticePlan", "LatticePlanner", "plan_lattice",
+            "sample_lookahead_grid"]
