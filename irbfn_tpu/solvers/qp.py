@@ -36,6 +36,9 @@ def _solve_single_qp(P, q, A, lo, hi, rho, sigma, iters, tol):
     n = P.shape[0]
     m = A.shape[0]
     dtype = P.dtype
+    if rho is None:
+        # scale-aware penalty (OSQP-style): match the cost curvature scale
+        rho = jnp.clip(jnp.mean(jnp.diagonal(P)), 1e-3, 1e3)
     kkt = P + sigma * jnp.eye(n, dtype=dtype) + rho * (A.T @ A)
     chol = jax.scipy.linalg.cholesky(kkt, lower=True)
 
@@ -66,8 +69,9 @@ def _solve_single_qp(P, q, A, lo, hi, rho, sigma, iters, tol):
 
 
 @partial(jax.jit, static_argnames=("iters",))
-def solve_qp_batch(P, q, A, lo, hi, rho: float = 0.1, sigma: float = 1e-6,
-                   iters: int = 2000, tol: float = 1e-8) -> QPSolution:
+def solve_qp_batch(P, q, A, lo, hi, rho: float | None = None,
+                   sigma: float = 1e-6, iters: int = 2000,
+                   tol: float = 1e-8) -> QPSolution:
     """Solve a batch of box-constrained QPs.
 
     Args:
@@ -122,7 +126,8 @@ def condense(mpc: LinearMPC):
 
 
 def solve_linear_mpc_batch(mpc: LinearMPC, x0: jnp.ndarray,
-                           goal: jnp.ndarray, iters: int = 500) -> jnp.ndarray:
+                           goal: jnp.ndarray, iters: int = 1000,
+                           tol: float = 1e-6) -> jnp.ndarray:
     """Batched condensed linear-MPC solve -> controls (..., T, nu).
 
     Cost: sum_k (x_k-g)^T Q (x_k-g) + u^T R u + terminal Qf; boxed controls.
@@ -149,7 +154,7 @@ def solve_linear_mpc_batch(mpc: LinearMPC, x0: jnp.ndarray,
     A_b = jnp.broadcast_to(A, batch_shape + A.shape)
     lo_b = jnp.broadcast_to(lo, batch_shape + lo.shape)
     hi_b = jnp.broadcast_to(hi, batch_shape + hi.shape)
-    sol = solve_qp_batch(P_b, q, A_b, lo_b, hi_b, iters=iters)
+    sol = solve_qp_batch(P_b, q, A_b, lo_b, hi_b, iters=iters, tol=tol)
     return sol.x.reshape(batch_shape + (T, nu)), sol
 
 
