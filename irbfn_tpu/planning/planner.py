@@ -201,13 +201,23 @@ class IRBFNFrenetPlanner:
 class NMPCPlanner:
     """Solver-in-the-loop planner: replaces the reference's online IPOPT
     call (nonlinear_dmpc_frenet.py:558-603) with the batched AL/Newton
-    solver. Warm-starts from the previous solution shift."""
+    solver.
+
+    Warm starts, in priority order (BASELINE config #5's "iRBFN warm-start
+    + differentiable rollout" pattern):
+      1. an attached IRBFN net's predicted control sequence (amortized
+         optimization — the net proposes, the solver polishes),
+      2. the previous solution shifted one step,
+      3. zeros.
+    """
 
     def __init__(self, track: Track, params: VehicleParams,
-                 cfg: NMPCConfig = NMPCConfig()):
+                 cfg: NMPCConfig = NMPCConfig(),
+                 warm_start_planner: "IRBFNFrenetPlanner | None" = None):
         self.track = track
         self.params = params
         self.cfg = cfg
+        self.warm_start_planner = warm_start_planner
         self._u_prev = None
 
     def plan_batch(self, s, ey, epsi, delta, vx, vy, wz):
@@ -217,9 +227,14 @@ class NMPCPlanner:
         zeros = jnp.zeros_like(ey)
         x0 = jnp.stack([zeros, ey, delta, vx, vy, wz, epsi], axis=-1)
         goal = jnp.stack([zeros] * 3 + [vx_goal] + [zeros] * 3, axis=-1)
-        u_init = self._u_prev
-        if u_init is not None and u_init.shape[:-2] != x0.shape[:-1]:
-            u_init = None
+        if self.warm_start_planner is not None:
+            net_plan = self.warm_start_planner.plan_batch(
+                s, ey, epsi, delta, vx, vy, wz)
+            u_init = net_plan.pred_controls.astype(x0.dtype)
+        else:
+            u_init = self._u_prev
+            if u_init is not None and u_init.shape[:-2] != x0.shape[:-1]:
+                u_init = None
         sol = solve_nmpc_batch(x0, goal, curv, self.params, self.cfg,
                                u_init=u_init)
         u = jnp.stack([sol.accel, sol.steer_vel], axis=-1)
