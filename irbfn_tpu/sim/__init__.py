@@ -18,3 +18,8 @@ __all__ = [
     "frenet_to_cartesian", "from_control_points", "interp_wrapped",
     "oval_track",
 ]
+
+from irbfn_tpu.sim.track import from_csv  # noqa: E402
+from irbfn_tpu.sim import render  # noqa: E402
+
+__all__ += ["from_csv", "render"]

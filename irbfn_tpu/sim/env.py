@@ -96,6 +96,8 @@ class TrackEnv:
         action (..., 2) = [accel, steer_vel], held constant over substeps
         (the reference's control pipeline holds actions over sim substeps).
         """
+        action = jnp.asarray(action, sim.x.dtype)
+
         def sub(x, _):
             return rk4_step(blended_deriv, x, action, self._p_sim), None
 

@@ -134,6 +134,22 @@ def centerline_from_arrays(xs, ys, speed=4.0, dtype=jnp.float32) -> Track:
                                speed=speed, dtype=dtype)
 
 
+def from_csv(path: str, x_col: int = 0, y_col: int = 1,
+             speed_col: int | None = None, delimiter: str = ",",
+             skip_header: int = 0, dtype=jnp.float32) -> Track:
+    """Load a closed track from a raceline/centerline CSV (the f1tenth map
+    format the reference consumes through f1tenth_gym's Raceline loaders,
+    track.py:16-248 there)."""
+    raw = np.genfromtxt(path, delimiter=delimiter, skip_header=skip_header)
+    pts = raw[:, [x_col, y_col]]
+    # drop a duplicated closing point if present
+    if np.allclose(pts[0], pts[-1]):
+        pts = pts[:-1]
+    speed = raw[:, speed_col].mean() if speed_col is not None else 4.0
+    return from_control_points(pts, n_samples=max(1024, 4 * len(pts)),
+                               speed=float(speed), dtype=dtype)
+
+
 # ---------------------------------------------------------------- conversions
 
 @jax.jit
