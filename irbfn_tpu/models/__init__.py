@@ -8,6 +8,7 @@ from irbfn_tpu.models.wcrbf import (
     RegionRBFCore,
     WCRBFNet,
     build_region_bounds,
+    overlapping_segments,
     rbf_distances,
     region_activation,
 )
@@ -57,4 +58,5 @@ __all__ = [
     "BASIS_FUNCTIONS", "get_basis", "ClusterWCRBFNet", "DeeperWCRBFNet",
     "MLP", "RegionRBFCore", "WCRBFNet", "build_region_bounds",
     "rbf_distances", "region_activation", "from_config",
+    "overlapping_segments",
 ]

@@ -54,6 +54,23 @@ def build_region_bounds(lower_bounds, upper_bounds, dimension_ranges,
     return lb, ub
 
 
+def overlapping_segments(values, n_segments: int, num_overlap: int = 1):
+    """Per-dimension segment bounds where neighbouring segments overlap by
+    ``num_overlap`` grid values (the reference builds these with numpy
+    stride tricks, deprecated/train.py:76-113). Returns (lower, upper)
+    lists of length n_segments."""
+    values = np.sort(np.unique(np.asarray(values)))
+    edges = np.linspace(0, len(values) - 1, n_segments + 1, dtype=int)
+    lower, upper = [], []
+    for s in range(n_segments):
+        lo_i = max(0, edges[s] - (num_overlap if s > 0 else 0))
+        hi_i = min(len(values) - 1,
+                   edges[s + 1] + (num_overlap if s < n_segments - 1 else 0))
+        lower.append(float(values[lo_i]))
+        upper.append(float(values[hi_i]))
+    return lower, upper
+
+
 def region_activation(x, lb, ub, delta, activation_idx):
     """Smooth box indicator gamma, vectorized over (batch, regions).
 
