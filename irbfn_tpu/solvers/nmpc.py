@@ -73,6 +73,50 @@ class NMPCConfig:
     linesearch_steps: int = 10
     # ``opti.lam_g`` tolerance used for the activation one-hot
     active_tol: float = 1e-6
+    # relative-KKT threshold above which a solve is flagged infeasible —
+    # the analogue of IPOPT's convergence failure -> -999 sentinel rows
+    kkt_tol: float = 5e-2
+
+
+def _solve_spd_unrolled(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for a small static-size SPD system via fully unrolled
+    Cholesky + triangular solves.
+
+    Written as Python loops over the (static, tiny) matrix indices so that
+    under vmap every scalar op becomes a (batch,)-wide VPU vector op — the
+    lane-level batched `cho_solve` lowering is the NMPC solver's TPU
+    bottleneck (small-matrix factorizations leave the 8x128 vector unit
+    almost entirely idle).  Produces NaN for non-PD A, which the caller's
+    line search rejects (the LM-damping retry loop).
+    """
+    n = A.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(s)
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
 
 
 class NMPCSolution(NamedTuple):
@@ -116,6 +160,9 @@ def _rollout_rk4(x0, u, curv, p: VehicleParams, cfg: NMPCConfig):
         x_new = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
         return x_new, x_new
 
+    # scan (not unrolled): jax.hessian through an unrolled horizon copies
+    # the derivative graph per step per tangent and trace time explodes;
+    # scan keeps the AD graph one-step-sized
     _, xs = jax.lax.scan(step, x0, u)
     return jnp.concatenate([x0[None], xs], axis=0)
 
@@ -220,36 +267,37 @@ def _solve_single(x0, goal, curv, u_init, p: VehicleParams, cfg: NMPCConfig):
             # A makes the Cholesky produce NaNs, the step is rejected below,
             # and mu grows until A is SPD — no eigendecomposition needed.
             A = H_red + mu * jnp.eye(n, dtype=dtype)
-            step = jax.scipy.linalg.cho_solve(
-                (jax.scipy.linalg.cholesky(A, lower=True), True), g)
+            step = _solve_spd_unrolled(A, g)
             f_old = obj(u, lam_state=lam, rho=rho)
 
             # backtracking line search along the projected Newton direction:
             # the AL walls are piecewise quadratic, so a full step frequently
-            # crosses a kink and overshoots — halving recovers cheaply
-            def ls_body(_, carry):
-                t, best_u, best_f = carry
-                cand = jnp.clip(u - t * step, lo_flat, hi_flat)
-                f_c = jnp.where(jnp.all(jnp.isfinite(cand)),
-                                obj(cand, lam_state=lam, rho=rho), jnp.inf)
-                better = f_c < best_f
-                return (t * 0.5,
-                        jnp.where(better, cand, best_u),
-                        jnp.where(better, f_c, best_f))
-
-            _, u_new, f_new = jax.lax.fori_loop(
-                0, cfg.linesearch_steps, ls_body,
-                (jnp.asarray(1.0, dtype), u, f_old))
+            # crosses a kink and overshoots — halving recovers cheaply.
+            # Evaluate all trial points at once (one batched objective eval
+            # instead of a sequential fori loop).
+            ts = 0.5 ** jnp.arange(cfg.linesearch_steps, dtype=dtype)
+            cands = jnp.clip(u[None] - ts[:, None] * step[None],
+                             lo_flat[None], hi_flat[None])
+            f_cands = jax.vmap(
+                lambda c: obj(c, lam_state=lam, rho=rho))(cands)
+            f_cands = jnp.where(jnp.all(jnp.isfinite(cands), axis=1),
+                                f_cands, jnp.inf)
+            best = jnp.argmin(f_cands)
+            f_new = jnp.minimum(f_cands[best], f_old)
+            u_new = jnp.where(f_cands[best] < f_old, cands[best], u)
             improved = f_new < f_old
             u_next = jnp.where(improved & ~done, u_new, u)
             mu = jnp.where(done, mu,
                            jnp.where(improved, jnp.maximum(mu * 0.2, 1e-10),
                                      jnp.minimum(mu * 10.0, 1e10)))
-            # relative projected-gradient convergence test
+            # relative projected-gradient convergence test, dtype-aware
+            # (1e-10 relative is unreachable in f32 and would pin every lane
+            # at the iteration cap)
             g_next = grad_fn(u_next, lam, rho)
             pg = u_next - jnp.clip(u_next - g_next, lo_flat, hi_flat)
+            conv_tol = 100.0 * jnp.finfo(dtype).eps
             new_done = done | (jnp.linalg.norm(pg)
-                               < 1e-10 * (1.0 + jnp.linalg.norm(g_next)))
+                               < conv_tol * (1.0 + jnp.linalg.norm(g_next)))
             return u_next, mu, it + 1, new_done
 
         def cond(state):
@@ -260,14 +308,16 @@ def _solve_single(x0, goal, curv, u_init, p: VehicleParams, cfg: NMPCConfig):
             cond, body, (u_flat, jnp.asarray(1e-4, dtype), 0, False))
         return u_out
 
+    # AL outer loop as fori_loop: the body (one inner solve + multiplier
+    # update) traces/compiles once; unrolling it inlines the inner
+    # while_loop al_outer times and multiplies trace time
     def outer_body(i, carry):
         u_flat, lam, rho = carry
         u_flat = inner(u_flat, lam, rho)
         xs = _rollout_rk4(x0, u_flat.reshape(T, 2), curv, p, cfg)
         g = _state_box_violations(xs, cfg)
         lam = jnp.maximum(0.0, lam + rho * g)
-        rho = rho * cfg.penalty_growth
-        return u_flat, lam, rho
+        return u_flat, lam, rho * cfg.penalty_growth
 
     lam0 = jnp.zeros((n_state_con,), dtype)
     rho0 = jnp.asarray(cfg.penalty0, dtype)
@@ -291,7 +341,8 @@ def _solve_single(x0, goal, curv, u_init, p: VehicleParams, cfg: NMPCConfig):
     # normalize by the gradient scale
     kkt = jnp.linalg.norm(pg) / (1.0 + jnp.linalg.norm(grad_final))
     max_viol = jnp.max(jnp.maximum(g_state, 0.0))
-    feasible = (max_viol < 1e-3) & jnp.all(jnp.isfinite(u_flat))
+    feasible = ((max_viol < 1e-3) & jnp.all(jnp.isfinite(u_flat))
+                & (kkt < cfg.kkt_tol))
 
     onehot = _activation_onehot(u, xs, lam, cfg)
     return NMPCSolution(u[:, 0], u[:, 1], xs, onehot, feasible, kkt)
