@@ -9,6 +9,7 @@ TPU chip); measurements are steady-state (post-compile) wall clock.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -71,21 +72,47 @@ def bench_plan_latency(batch: int = 1024):
     return total, rtt
 
 
+def bench_nmpc_solves(n_points: int = 2048):
+    """Frenet NMPC solves/sec (the oracle datagen workload; replaces
+    IPOPT-over-joblib, nmpc_data_generator_frenet.py:110-113)."""
+    import jax
+    import jax.numpy as jnp
+
+    from irbfn_tpu.dynamics.params import fullscale_params
+    from irbfn_tpu.solvers import NMPCConfig, solve_lattice_point
+
+    p = fullscale_params(mu=1.0, cs=5.0, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(np.column_stack([
+        rng.uniform(-0.2, 2.0, n_points), rng.uniform(-0.3, 0.3, n_points),
+        rng.uniform(1, 7, n_points), rng.uniform(-1, 1, n_points),
+        rng.uniform(3, 7, n_points), rng.uniform(-2.6, 2.6, n_points),
+        rng.uniform(-1, 1, n_points), rng.uniform(-0.1, 0.1, n_points),
+    ]).astype(np.float32))
+    fn = jax.jit(
+        lambda r: solve_lattice_point(r, p, NMPCConfig()).accel.sum())
+    dt = _time_op(fn, rows, warmup=1, iters=3)
+    return n_points / dt
+
+
 def main():
     solves_per_sec = bench_bvp_solves()
     latency_s, rtt_s = bench_plan_latency()
+    extra = {
+        "plan_latency_batch1024_p50_ms": round(
+            max(latency_s - rtt_s, 0.0) * 1e3, 4),
+        "plan_latency_incl_rtt_ms": round(latency_s * 1e3, 4),
+        "host_rtt_ms": round(rtt_s * 1e3, 4),
+    }
+    if os.environ.get("IRBFN_BENCH_FAST", "0") != "1":
+        extra["nmpc_solves_per_sec_per_chip"] = round(bench_nmpc_solves(), 1)
     baseline_per_chip = 1e5 / 8.0  # v5e-8 north-star, per chip
     print(json.dumps({
         "metric": "clothoid_bvp_solves_per_sec_per_chip",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / baseline_per_chip, 3),
-        "extra": {
-            "plan_latency_batch1024_p50_ms": round(
-                max(latency_s - rtt_s, 0.0) * 1e3, 4),
-            "plan_latency_incl_rtt_ms": round(latency_s * 1e3, 4),
-            "host_rtt_ms": round(rtt_s * 1e3, 4),
-        },
+        "extra": extra,
     }))
 
 
