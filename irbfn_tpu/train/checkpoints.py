@@ -61,14 +61,28 @@ def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 100):
     mngr.close()
 
 
-def restore_params(ckpt_dir: str, step: Optional[int] = None):
-    """Restore the params pytree (latest step if unspecified)."""
+def restore_params(ckpt_dir: str, step: Optional[int] = None, template=None):
+    """Restore the params pytree (latest step if unspecified).
+
+    Passing ``template`` (a pytree of arrays/ShapeDtypeStructs with the
+    expected topology, e.g. from ``model.init``) makes the restore
+    structure-checked and sharding-aware; without it orbax restores the
+    stored topology as saved.
+    """
     ckpt_dir = os.path.abspath(ckpt_dir)
     mngr = ocp.CheckpointManager(ckpt_dir)
     step = mngr.latest_step() if step is None else step
     restored = mngr.restore(step)
     mngr.close()
-    return restored["params"]
+    params = restored["params"]
+    if template is not None:
+        # structure check against the expected topology
+        expect = jax.tree_util.tree_structure(template)
+        got = jax.tree_util.tree_structure(params)
+        if expect != got:
+            raise ValueError(
+                f"checkpoint params topology {got} != expected {expect}")
+    return params
 
 
 def load_model(config_path: str, ckpt_dir: Optional[str] = None,

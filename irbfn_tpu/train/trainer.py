@@ -164,8 +164,19 @@ def make_train_step(loss_fn: Callable, dyn_params, donate: bool = True):
 
 def train_epochs(state: TrainState, step_fn, inputs, outputs, batch_size: int,
                  epochs: int, rng, extra=None, log_fn=None,
-                 checkpoint_fn=None, checkpoint_every: int = 100):
-    """Permutation mini-batch epochs (train_nmpc_frenet.py:487-558)."""
+                 checkpoint_fn=None, checkpoint_every: int = 100, mesh=None):
+    """Permutation mini-batch epochs (train_nmpc_frenet.py:487-558).
+
+    With ``mesh``, batches are placed with batch-axis sharding so the jitted
+    step runs data-parallel (gradient psum inserted by XLA).
+    """
+    if mesh is not None:
+        from irbfn_tpu.parallel.mesh import data_sharding
+
+        sharding = data_sharding(mesh)
+        place = lambda a: jax.device_put(jnp.asarray(a), sharding)  # noqa: E731
+    else:
+        place = jnp.asarray
     n = inputs.shape[0]
     steps = max(1, n // batch_size)
     for e in range(epochs):
@@ -174,9 +185,9 @@ def train_epochs(state: TrainState, step_fn, inputs, outputs, batch_size: int,
         perms = perms.reshape(steps, batch_size)
         losses = []
         for b, perm in enumerate(perms):
-            bx = jnp.asarray(inputs[np.asarray(perm)])
-            by = jnp.asarray(outputs[np.asarray(perm)])
-            args = (bx, by) if extra is None else (bx, by, jnp.asarray(extra[np.asarray(perm)]))
+            bx = place(inputs[np.asarray(perm)])
+            by = place(outputs[np.asarray(perm)])
+            args = (bx, by) if extra is None else (bx, by, place(extra[np.asarray(perm)]))
             state, metrics = step_fn(state, *args)
             losses.append(metrics.loss)
             if log_fn is not None:
