@@ -52,24 +52,35 @@ def bench_bvp_solves(n_points: int = 1 << 20):
     return n_points / dt
 
 
-def bench_plan_latency(batch: int = 1024):
+def bench_plan_latency(batch: int = 1024, chain: int = 64):
     """Batch-1024 WCRBF plan-inference latency p50 (the online hot op,
-    irbfn_planner.py:29-32 & 205)."""
+    irbfn_planner.py:29-32 & 205).
+
+    Per-call wall time through the dev tunnel is dominated by host RTT
+    (~25 ms), far above the sub-ms on-device latency — so ``chain``
+    sequentially-dependent forwards run inside ONE jitted call and the
+    chain time is amortized; the data dependency (input perturbed by the
+    running checksum) stops XLA from parallelizing the chain.
+    """
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import entry
 
-    import jax.numpy as jnp
-
     fn, (variables, x) = entry()
-    jfn = jax.jit(lambda v, xx: jnp.sum(fn(v, xx)))
     assert x.shape[0] == batch
-    # subtract the measured null-op round-trip (tunnel RTT) so the number
-    # reflects on-device latency, and report both
-    null = jax.jit(lambda v, xx: jnp.float32(0.0))
-    rtt = _time_op(null, variables, x, warmup=3, iters=30)
-    total = _time_op(jfn, variables, x, warmup=3, iters=30)
-    return total, rtt
+
+    def chained(v, xx):
+        def body(i, acc):
+            y = fn(v, xx + 1e-20 * acc)
+            return acc + jnp.sum(y)
+
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
+    total_chain = _time_op(jax.jit(chained), variables, x, warmup=2, iters=10)
+    total_single = _time_op(jax.jit(lambda v, xx: jnp.sum(fn(v, xx))),
+                            variables, x, warmup=3, iters=10)
+    return total_chain / chain, total_single
 
 
 def bench_nmpc_solves(n_points: int = 2048):
@@ -97,12 +108,10 @@ def bench_nmpc_solves(n_points: int = 2048):
 
 def main():
     solves_per_sec = bench_bvp_solves()
-    latency_s, rtt_s = bench_plan_latency()
+    amortized_s, single_call_s = bench_plan_latency()
     extra = {
-        "plan_latency_batch1024_p50_ms": round(
-            max(latency_s - rtt_s, 0.0) * 1e3, 4),
-        "plan_latency_incl_rtt_ms": round(latency_s * 1e3, 4),
-        "host_rtt_ms": round(rtt_s * 1e3, 4),
+        "plan_latency_batch1024_p50_ms": round(amortized_s * 1e3, 4),
+        "plan_latency_single_call_incl_rtt_ms": round(single_call_s * 1e3, 4),
     }
     if os.environ.get("IRBFN_BENCH_FAST", "0") != "1":
         extra["nmpc_solves_per_sec_per_chip"] = round(bench_nmpc_solves(), 1)

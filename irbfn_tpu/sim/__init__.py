@@ -22,5 +22,6 @@ __all__ = [
 from irbfn_tpu.sim.track import from_csv  # noqa: E402
 from irbfn_tpu.sim import render  # noqa: E402
 from irbfn_tpu.sim import lidar  # noqa: E402
+from irbfn_tpu.sim.multi_agent import MultiAgentEnv, MultiAgentState, pairwise_collisions  # noqa: E402
 
-__all__ += ["from_csv", "render", "lidar"]
+__all__ += ["from_csv", "render", "lidar", "MultiAgentEnv", "MultiAgentState", "pairwise_collisions"]

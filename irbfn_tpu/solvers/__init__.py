@@ -19,6 +19,7 @@ from irbfn_tpu.solvers.nmpc import (
     NMPCConfig,
     NMPCSolution,
     solve_lattice_point,
+    solve_lattice_multi_params,
     solve_nmpc_batch,
 )
 
@@ -26,5 +27,5 @@ __all__ = [
     "ClothoidSolution", "solve_g1_hermite", "solve_g1_lattice", "wrap_angle",
     "LMResult", "levenberg_marquardt", "NMPCConfig", "NMPCSolution",
     "solve_lattice_point", "solve_nmpc_batch", "cartesian_config",
-    "kinematic_config", "solve_cartesian_point",
+    "kinematic_config", "solve_cartesian_point", "solve_lattice_multi_params",
 ]

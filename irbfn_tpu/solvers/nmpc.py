@@ -426,6 +426,24 @@ def solve_lattice_point(row: jnp.ndarray, params: VehicleParams,
     return solve_nmpc_batch(x0, goal, row[..., 7], params, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_lattice_multi_params(rows: jnp.ndarray, params_batch: VehicleParams,
+                               cfg: NMPCConfig = NMPCConfig()) -> NMPCSolution:
+    """Solve the same lattice under a batch of vehicle-parameter settings in
+    ONE dispatch: the reference's outer mu sweep
+    (nmpc_data_generator_frenet.py:17-19, a Python loop re-running the whole
+    pipeline per mu) becomes a leading device axis.
+
+    Args:
+        rows: (N, 8) frenet lattice rows.
+        params_batch: VehicleParams whose leaves carry a leading (M,) axis
+            (e.g. built with ``jax.tree.map(jnp.stack, ...)`` over mu values).
+    Returns:
+        NMPCSolution with leading axes (M, N).
+    """
+    return jax.vmap(lambda pm: solve_lattice_point(rows, pm, cfg))(params_batch)
+
+
 def cartesian_config(**overrides) -> NMPCConfig:
     """Cartesian NMPC problem constants (reference nonlinear_dmpc.py
     mpc_config:11-49): goal-reaching cost on (x, y, v), terminal Qf, tighter

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Closed-loop demo (the run_irbfn_mpc_in_gym.ipynb / run_nmpc_in_gym.ipynb
+capability): drive a planner around the track, print lap metrics, save an
+episode figure.
+
+Planners: "nmpc" (solver in the loop), "irbfn" (trained net; needs
+--config_f/--ckpt), "pursuit" (geometric baseline).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from irbfn_tpu.dynamics.params import f1tenth_params, fullscale_params
+from irbfn_tpu.sim import TrackEnv, deviation_metrics, oval_track
+from irbfn_tpu.sim.render import plot_episode
+from irbfn_tpu.solvers import NMPCConfig, solve_nmpc_batch
+from irbfn_tpu.sim.track import interp_wrapped
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--planner", choices=["nmpc", "irbfn", "pursuit"],
+                   default="nmpc")
+    p.add_argument("--config_f", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--n_steps", type=int, default=400)
+    p.add_argument("--speed", type=float, default=3.0)
+    p.add_argument("--out", type=str, default="demo_episode.png")
+    args = p.parse_args()
+
+    track = oval_track(n_samples=512, speed=args.speed)
+    env = TrackEnv(track, f1tenth_params(dtype=jnp.float32))
+    sim = env.reset(s0=0.0, speed0=1.0, batch_shape=(1,))
+    rl = track.raceline
+
+    if args.planner == "irbfn" and args.config_f:
+        from irbfn_tpu.planning import IRBFNFrenetPlanner
+        from irbfn_tpu.train import load_model
+
+        model, params, _ = load_model(args.config_f, args.ckpt)
+        planner = IRBFNFrenetPlanner(model, {"params": params["params"]},
+                                     track)
+
+        def policy(obs):
+            res = planner._plan_fn(planner._params, obs.s, obs.ey, obs.epsi,
+                                   obs.delta, obs.linear_vel_x,
+                                   obs.linear_vel_y, obs.ang_vel_z)
+            return jnp.stack([res.accel, res.steer_vel], axis=-1)
+    elif args.planner == "nmpc":
+        solver_params = fullscale_params(dtype=jnp.float32)
+        cfg = NMPCConfig(gn_iters=25, al_outer=3)
+
+        def policy(obs):
+            zeros = jnp.zeros_like(obs.ey)
+            x0 = jnp.stack([zeros, obs.ey, obs.delta, obs.linear_vel_x,
+                            obs.linear_vel_y, obs.ang_vel_z, obs.epsi],
+                           axis=-1)
+            curv = interp_wrapped(rl.ss, rl.ks, obs.s, rl.length)
+            vx_goal = interp_wrapped(rl.ss, rl.vxs, obs.s, rl.length)
+            goal = jnp.stack([zeros] * 3 + [vx_goal] + [zeros] * 3, axis=-1)
+            sol = solve_nmpc_batch(x0, goal, curv, solver_params, cfg)
+            return jnp.stack([sol.accel[..., 0], sol.steer_vel[..., 0]],
+                             axis=-1)
+    else:
+        def policy(obs):
+            sv = jnp.clip(-1.0 * obs.ey - 1.5 * obs.epsi - 0.8 * obs.delta,
+                          -3.2, 3.2)
+            a = jnp.clip(2.0 * (args.speed - obs.linear_vel_x), -9.51, 9.51)
+            return jnp.stack([a, sv], axis=-1)
+
+    t0 = time.time()
+    final, traj = env.rollout(sim, policy, n_steps=args.n_steps)
+    jax.block_until_ready(final.x)
+    wall = time.time() - t0
+    ey_mean, epsi_mean = deviation_metrics(traj)
+    sim_time = args.n_steps * 0.1
+    print(f"{args.planner}: {args.n_steps} control steps "
+          f"({sim_time:.0f}s sim) in {wall:.2f}s wall "
+          f"({sim_time / wall:.1f}x realtime)")
+    print(f"laps {int(final.laps[0])}  progress {float(final.s[0]):.1f} m  "
+          f"mean|ey| {float(ey_mean[0]):.3f} m  "
+          f"mean|epsi| {float(epsi_mean[0]):.3f} rad")
+    plot_episode(track, traj, path=args.out)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -184,3 +184,28 @@ def test_nmpc_warm_start_consistency(nmpc_setup):
     sol2 = solve_nmpc_batch(x0, goal, row[:, 7], p, cfg, u_init=u_init)
     np.testing.assert_allclose(sol2.accel, sol.accel, atol=1e-6)
     np.testing.assert_allclose(sol2.steer_vel, sol.steer_vel, atol=1e-6)
+
+
+def test_multi_params_sweep_matches_single(nmpc_setup):
+    """One-dispatch mu sweep == per-mu solves."""
+    import jax
+
+    from irbfn_tpu.dynamics.params import fullscale_params
+    from irbfn_tpu.solvers import solve_lattice_multi_params
+
+    _, cfg = nmpc_setup
+    rows = jnp.asarray([[0.3, 0.0, 4.0, 0.0, 5.0, 0.0, 0.1, 0.02],
+                        [0.0, 0.1, 3.0, 0.2, 6.0, 0.5, -0.2, -0.05]])
+    mus = [0.6, 1.0]
+    pb = jax.tree.map(lambda *xs: jnp.stack(xs),
+                      *[fullscale_params(mu=m, cs=5.0, dtype=jnp.float64)
+                        for m in mus])
+    multi = solve_lattice_multi_params(rows, pb, cfg)
+    assert multi.accel.shape == (2, 2, 5)
+    for i, m in enumerate(mus):
+        single = solve_lattice_point(
+            rows, fullscale_params(mu=m, cs=5.0, dtype=jnp.float64), cfg)
+        np.testing.assert_allclose(multi.accel[i], single.accel,
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(multi.steer_vel[i], single.steer_vel,
+                                   rtol=1e-8, atol=1e-9)
