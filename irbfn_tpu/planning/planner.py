@@ -16,7 +16,7 @@ IRBFNFrenetPlanner, AdaptiveIRBFNPlanner) and the online half of
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, NamedTuple, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

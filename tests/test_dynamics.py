@@ -13,7 +13,6 @@ import numpy as np
 import pytest
 
 from irbfn_tpu.dynamics import (
-    VehicleParams,
     f1tenth_params,
     frenet_onestep,
     frenet_rollout,
