@@ -209,3 +209,48 @@ def test_multi_params_sweep_matches_single(nmpc_setup):
                                    rtol=1e-8, atol=1e-9)
         np.testing.assert_allclose(multi.steer_vel[i], single.steer_vel,
                                    rtol=1e-8, atol=1e-9)
+
+
+def test_nmpc_perturbation_optimality(nmpc_setup):
+    """Direct optimality check: no random feasible perturbation of the
+    returned controls improves the true AL-free objective (tracking +
+    control cost with state boxes enforced by rejection)."""
+    from functools import partial
+
+    import jax
+
+    from irbfn_tpu.solvers import nmpc as M
+
+    p, cfg = nmpc_setup
+    rows = jnp.asarray([
+        [0.3, 0.05, 4.0, -0.1, 5.0, 0.4, 0.15, 0.03],
+        [1.0, -0.1, 2.5, 0.3, 6.0, -1.0, -0.4, -0.08],
+    ])
+    sol = solve_lattice_point(rows, p, cfg)
+    rng = np.random.default_rng(0)
+    for b in range(rows.shape[0]):
+        if not bool(sol.feasible[b]):
+            continue
+        x0 = jnp.concatenate([jnp.zeros(1), rows[b, :4], rows[b, 5:7]])
+        goal = jnp.zeros(7).at[3].set(rows[b, 4])
+        smooth = partial(M._smooth_cost, x0=x0, goal=goal, curv=rows[b, 7],
+                         p=p, cfg=cfg)
+        u_star = jnp.stack([sol.accel[b], sol.steer_vel[b]], -1).reshape(-1)
+        f_star = float(smooth(u_star))
+
+        def viol(u_flat):
+            xs = M._rollout_rk4(x0, u_flat.reshape(5, 2), rows[b, 7], p, cfg)
+            return float(jnp.max(jnp.maximum(
+                M._state_box_violations(xs, cfg), 0.0)))
+
+        v_star = viol(u_star)
+        lo = jnp.tile(jnp.asarray([-cfg.max_accel, -cfg.max_dsteer]), 5)
+        improved = 0
+        for _ in range(60):
+            scale = rng.choice([1e-3, 1e-2, 1e-1])
+            cand = jnp.clip(u_star + scale * rng.standard_normal(10), lo, -lo)
+            # only count feasible perturbations that beat the solution
+            if (viol(cand) <= v_star + 1e-6
+                    and float(smooth(cand)) < f_star - 1e-6):
+                improved += 1
+        assert improved == 0, f"point {b}: {improved} improving perturbations"
