@@ -14,6 +14,14 @@ import time
 
 import numpy as np
 
+import sys
+
+sys.path.insert(0, ".")
+
+from irbfn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def _time_op(fn, *args, warmup=2, iters=10):
     """Median wall time with a device->host scalar fetch as the sync point.

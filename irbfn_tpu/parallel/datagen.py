@@ -81,7 +81,8 @@ def _pad_rows(rows: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
 
 
 def solve_lattice_sharded(solve_fn: Callable, rows: np.ndarray,
-                          mesh=None, batch_per_device: int = 65536):
+                          mesh=None, batch_per_device: int = 65536,
+                          progress: bool = False):
     """Run ``solve_fn`` (a batched jittable rows->pytree solver) over a
     lattice, sharded across the mesh's data axis.
 
@@ -105,11 +106,22 @@ def solve_lattice_sharded(solve_fn: Callable, rows: np.ndarray,
 
     outs = []
     n_total = rows.shape[0]
+    import time as _time
+
+    t_start = _time.time()
     for start in range(0, n_total, chunk_rows):
         chunk = rows[start:start + chunk_rows]
-        chunk, n_valid = _pad_rows(chunk, n_dev)
+        # pad the tail chunk to the full chunk size so every dispatch reuses
+        # one compiled program (a second shape would recompile the solver)
+        chunk, n_valid = _pad_rows(chunk, chunk_rows if n_total > chunk_rows
+                                   else n_dev)
         result = jitted(jnp.asarray(chunk))
         outs.append(jax.tree.map(lambda a: np.asarray(a)[:n_valid], result))
+        if progress:
+            done = min(start + chunk_rows, n_total)
+            rate = done / max(_time.time() - t_start, 1e-9)
+            print(f"  lattice progress {done:,}/{n_total:,} "
+                  f"({rate:,.0f} rows/s incl. compile)", flush=True)
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
 
 

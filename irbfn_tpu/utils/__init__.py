@@ -1,5 +1,6 @@
 """Shared utilities: CLI flag groups, profiling/observability."""
 
+from irbfn_tpu.utils.cache import enable_compilation_cache
 from irbfn_tpu.utils.profiling import (
     MetricLogger,
     RetraceGuard,
@@ -9,5 +10,5 @@ from irbfn_tpu.utils.profiling import (
     trace,
 )
 
-__all__ = ["MetricLogger", "RetraceGuard", "debug_nans", "throughput",
+__all__ = ["enable_compilation_cache", "MetricLogger", "RetraceGuard", "debug_nans", "throughput",
            "time_fn", "trace"]

@@ -11,6 +11,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from irbfn_tpu.train.clustering import (save_cluster_artifacts,
                                         unique_activation_patterns)
 

@@ -10,6 +10,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import jax.numpy as jnp
 import matplotlib
 

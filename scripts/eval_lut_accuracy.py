@@ -17,6 +17,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import jax.numpy as jnp
 
 from irbfn_tpu.dynamics import integrate_endpoint_gl

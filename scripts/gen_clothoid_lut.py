@@ -15,6 +15,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from irbfn_tpu.parallel import GridSpec, build_lattice, solve_lattice_sharded
 from irbfn_tpu.solvers import solve_g1_lattice
 from irbfn_tpu.utils.args import add_clothoid_grid_args, add_io_args

@@ -11,6 +11,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from irbfn_tpu.dynamics.params import f1tenth_params
 from irbfn_tpu.parallel import GridSpec, build_lattice, save_table, solve_lattice_sharded
 from irbfn_tpu.solvers import cartesian_config, solve_cartesian_point

@@ -17,6 +17,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from irbfn_tpu.dynamics.params import fullscale_params
 from irbfn_tpu.parallel import (GridSpec, build_lattice, frenet_table,
                                 save_table, solve_lattice_sharded)
@@ -47,7 +51,7 @@ def main():
         t0 = time.time()
         sol = solve_lattice_sharded(
             lambda r: solve_lattice_point(r, params, cfg), rows,
-            batch_per_device=args.batch_per_device)
+            batch_per_device=args.batch_per_device, progress=True)
         dt = time.time() - t0
         feas = float(np.asarray(sol.feasible).mean())
         print(f"mu={mu:.2f}: {rows.shape[0] / dt:,.0f} solves/s, "
