@@ -156,3 +156,36 @@ def test_explicit_frenet_planner():
         delta=jnp.zeros(1), vx=jnp.zeros(1), vy=jnp.zeros(1), wz=jnp.zeros(1))
     assert bool(valid[0])
     np.testing.assert_allclose(out[0, 0], 0.5, atol=1e-6)
+
+
+def test_cartesian_planner_obs_api():
+    """IRBFNPlanner (cartesian): lookahead goal, mirror trick, rollout."""
+    import jax
+
+    from irbfn_tpu.planning import IRBFNPlanner
+    from irbfn_tpu.sim import oval_track
+
+    track = oval_track(n_samples=256)
+    model = WCRBFNet(
+        in_features=7, out_features=10, num_kernels=8,
+        basis_func=get_basis("gaussian"), num_regions=2,
+        lower_bounds=[[0.0, 3.5]], upper_bounds=[[3.5, 7.0]],
+        dimension_ranges=[[0], [1]], activation_idx=[0], delta=[15.0])
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 7)))
+    planner = IRBFNPlanner(model, params, track, mirror=True, sv_ind=5)
+    obs = {"pose_x": 0.0, "pose_y": -7.4, "pose_theta": 0.0, "delta": 0.0,
+           "linear_vel_x": 3.0, "beta": 0.0, "ang_vel_z": 0.0}
+    a, sv = planner.plan(obs)
+    assert np.isfinite(a) and np.isfinite(sv)
+    assert planner.last.pred_states.shape[-2:] == (5, 7)
+
+    # batched serving
+    B = 32
+    rng = np.random.default_rng(0)
+    res = planner.plan_batch(
+        x=jnp.asarray(rng.uniform(-10, 10, B)),
+        y=jnp.asarray(rng.uniform(-5, 5, B)),
+        theta=jnp.zeros(B), delta=jnp.zeros(B),
+        v=jnp.full(B, 3.0), beta=jnp.zeros(B), angv=jnp.zeros(B))
+    assert res.accel.shape == (B,)
+    assert res.goal.shape == (B, 4)
