@@ -58,7 +58,7 @@ def rbf_features(x, centers, log_sigs, lb, ub, delta, activation_idx,
 
 
 def fit_direct(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
-               basis_func, reg: float = 1e-6, mode: str = "shared",
+               basis_func, reg: float = 1e-5, mode: str = "shared",
                chunk: int = 65536) -> DirectFit:
     """Solve min_W ||G(x) W + b - y||^2 + reg ||W||^2 in closed form.
 
@@ -66,7 +66,21 @@ def fit_direct(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     ``lax.scan`` (streaming: the (N, Kf) design matrix never materializes),
     then solved with one Cholesky of the (Kf+1, Kf+1) system (bias folded in
     as a constant feature).
+
+    ``reg`` is RELATIVE to the mean diagonal of G^T G (gaussian gram
+    matrices are catastrophically ill-conditioned; in f32 the Cholesky needs
+    reg >= ~1e-5 relative — below that it returns NaN weights).
     """
+    with jax.default_matmul_precision("highest"):
+        return _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta,
+                                activation_idx, basis_func, reg, mode, chunk)
+
+
+def _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
+                     basis_func, reg, mode, chunk):
+    # NOTE: runs under default_matmul_precision("highest") — TPU f32 matmuls
+    # otherwise go through the bf16 MXU pass, which destroys the gram
+    # matrix's conditioning and NaNs the Cholesky.
     n = x.shape[0]
     n_pad = ((n + chunk - 1) // chunk) * chunk
     pad = n_pad - n
@@ -97,9 +111,18 @@ def fit_direct(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
             jnp.zeros((kf + 1, y.shape[1]), x.dtype))
     (gtg, gty), _ = jax.lax.scan(body, init, blocks)
 
-    A = gtg + reg * jnp.eye(kf + 1, dtype=x.dtype)
-    L = jax.scipy.linalg.cholesky(A, lower=True)
-    wb = jax.scipy.linalg.cho_solve((L, True), gty)
+    # Solve the small (Kf+1)^2 normal-equations system on the HOST in f64:
+    # gaussian gram matrices are catastrophically ill-conditioned, and the
+    # TPU's f32 Cholesky lowering (bf16 matmul passes inside XLA's blocked
+    # algorithm) NaNs where CPU f64 sails through. The device does the O(N)
+    # accumulation; the host does the O(K^3) solve.
+    gtg_h = np.asarray(gtg, dtype=np.float64)
+    gty_h = np.asarray(gty, dtype=np.float64)
+    # trace-relative ridge: G^T G scales with the row count, so an absolute
+    # regularizer vanishes on large tables and the solve goes singular
+    reg_eff = reg * np.trace(gtg_h) / (kf + 1)
+    A = gtg_h + reg_eff * np.eye(kf + 1)
+    wb = jnp.asarray(np.linalg.solve(A, gty_h), dtype=x.dtype)
     return DirectFit(wb[:-1], wb[-1], centers, log_sigs, mode)
 
 
