@@ -132,6 +132,41 @@ def main():
                                jnp.ones((bs, 8), jnp.float32),
                                lr=args.lr, max_grad_norm=args.max_grad_norm)
 
+    if args.direct_fit:
+        # closed-form Cholesky fit: solve the head weights (and install the
+        # chosen centers/widths) directly — orders of magnitude faster than
+        # the Adam path for table fitting
+        import time
+
+        from irbfn_tpu.models.fit import choose_centers, fit_direct
+        from irbfn_tpu.models.wcrbf import build_region_bounds
+
+        x = jnp.asarray(inputs, jnp.float32)
+        yv = jnp.asarray(outputs, jnp.float32)
+        centers, log_sigs = choose_centers(x, num_kernels=args.num_k,
+                                           num_regions=num_regions,
+                                           seed=args.seed)
+        lb, ub = build_region_bounds(lower_bounds, upper_bounds,
+                                     dimension_ranges, activation_idx)
+        t0 = time.time()
+        fit = fit_direct(x, yv, centers, log_sigs, jnp.asarray(lb),
+                         jnp.asarray(ub), jnp.asarray(delta),
+                         tuple(activation_idx),
+                         get_basis(args.basis_function))
+        pred = fit.predict(x[:100000], jnp.asarray(lb), jnp.asarray(ub),
+                           jnp.asarray(delta), tuple(activation_idx),
+                           get_basis(args.basis_function))
+        l1 = float(jnp.abs(pred - yv[:100000]).mean())
+        print(f"direct fit in {time.time() - t0:.1f}s; control L1 {l1:.4f}")
+        # install into the WCRBFNet parameter tree so planners load it
+        params = dict(state.params["params"])
+        params["core"] = {"centers": fit.centers, "log_sigs": fit.log_sigs}
+        params["head"] = {"kernel": fit.weights, "bias": fit.bias}
+        state = state.replace(params={"params": params})
+        save_checkpoint(ckpt_dir, state, step=0)
+        print(f"checkpoint at {ckpt_dir}")
+        return
+
     dyn_params = f1tenth_params(mu=args.mu, cs=args.cs).to_vector()
 
     cluster_onehot = None
