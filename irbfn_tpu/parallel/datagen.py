@@ -82,16 +82,21 @@ def _pad_rows(rows: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
 
 def solve_lattice_sharded(solve_fn: Callable, rows: np.ndarray,
                           mesh=None, batch_per_device: int = 65536,
-                          progress: bool = False):
+                          progress: bool = False, args=()):
     """Run ``solve_fn`` (a batched jittable rows->pytree solver) over a
     lattice, sharded across the mesh's data axis.
 
     Args:
-        solve_fn: maps ``(B, D)`` rows to a pytree of ``(B, ...)`` results.
+        solve_fn: maps ``(B, D)`` rows (plus ``*args``) to a pytree of
+            ``(B, ...)`` results.
         rows: the full lattice ``(N, D)``.
         mesh: a Mesh (defaults to all devices on one 'data' axis).
         batch_per_device: chunk size per device per dispatch; chunking keeps
             peak HBM bounded for multi-hundred-million-row lattices.
+        args: extra pytree operands passed through as TRACED inputs
+            (replicated). Sweep parameters (e.g. mu) must come through here
+            — baked into the closure they become compile-time constants and
+            every sweep value recompiles the solver.
     Returns:
         pytree of np arrays with leading dim N.
     """
@@ -100,9 +105,12 @@ def solve_lattice_sharded(solve_fn: Callable, rows: np.ndarray,
     n_dev = mesh.devices.size
     chunk_rows = n_dev * batch_per_device
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
 
-    jitted = jax.jit(solve_fn, in_shardings=(sharding,),
-                     out_shardings=NamedSharding(mesh, P()))
+    # prefix-pytree shardings: one replicated spec per extra operand tree
+    jitted = jax.jit(solve_fn,
+                     in_shardings=(sharding,) + tuple(repl for _ in args),
+                     out_shardings=repl)
 
     outs = []
     n_total = rows.shape[0]
@@ -115,7 +123,7 @@ def solve_lattice_sharded(solve_fn: Callable, rows: np.ndarray,
         # one compiled program (a second shape would recompile the solver)
         chunk, n_valid = _pad_rows(chunk, chunk_rows if n_total > chunk_rows
                                    else n_dev)
-        result = jitted(jnp.asarray(chunk))
+        result = jitted(jnp.asarray(chunk), *args)
         outs.append(jax.tree.map(lambda a: np.asarray(a)[:n_valid], result))
         if progress:
             done = min(start + chunk_rows, n_total)

@@ -46,12 +46,15 @@ def main():
     mus = ([args.mu] if args.mu_min is None else
            list(np.arange(args.mu_min, args.mu_max + args.d_mu, args.d_mu)))
     cfg = NMPCConfig()
+    # params enter as a traced operand so the whole mu sweep reuses ONE
+    # compiled program (closure-captured params would recompile per mu)
+    solve = lambda r, pv: solve_lattice_point(r, pv, cfg)  # noqa: E731
     for mu in mus[::-1]:
         params = fullscale_params(mu=float(mu), cs=args.cs)
         t0 = time.time()
         sol = solve_lattice_sharded(
-            lambda r: solve_lattice_point(r, params, cfg), rows,
-            batch_per_device=args.batch_per_device, progress=True)
+            solve, rows, batch_per_device=args.batch_per_device,
+            progress=True, args=(params,))
         dt = time.time() - t0
         feas = float(np.asarray(sol.feasible).mean())
         print(f"mu={mu:.2f}: {rows.shape[0] / dt:,.0f} solves/s, "
