@@ -1,6 +1,7 @@
 """Simulator layer (L1): track, Frenet frame, closed-loop env."""
 
-from irbfn_tpu.sim.env import Observation, SimState, TrackEnv, deviation_metrics
+from irbfn_tpu.sim.env import (Observation, SimState, StepRecord, TrackEnv,
+                               deviation_metrics)
 from irbfn_tpu.sim.track import (
     Raceline,
     Track,
@@ -13,7 +14,8 @@ from irbfn_tpu.sim.track import (
 )
 
 __all__ = [
-    "Observation", "SimState", "TrackEnv", "deviation_metrics", "Raceline",
+    "Observation", "SimState", "StepRecord", "TrackEnv", "deviation_metrics",
+    "Raceline",
     "Track", "cartesian_to_frenet", "centerline_from_arrays",
     "frenet_to_cartesian", "from_control_points", "interp_wrapped",
     "oval_track",

@@ -51,15 +51,30 @@ class Observation(NamedTuple):
     epsi: jnp.ndarray
 
 
+class StepRecord(NamedTuple):
+    """Per-step rollout record: the observation the policy saw, plus the
+    post-step termination flag and lap counter (the reference's per-step
+    `done`/lap bookkeeping, eval_dnmpc.py:63-95)."""
+
+    obs: Observation
+    done: jnp.ndarray
+    laps: jnp.ndarray
+
+
 class TrackEnv:
     """Closed-loop env; all methods jittable and batched."""
 
     def __init__(self, track: Track, params: VehicleParams,
-                 sim_dt: float = 0.01, control_dt: float = 0.1):
+                 sim_dt: float = 0.01, control_dt: float = 0.1,
+                 half_width: float | None = None):
+        """``half_width``: drivable corridor half width around the raceline;
+        when set, leaving the corridor terminates the episode (the gym env's
+        collision-with-map `done`, eval_dnmpc.py:77-80). None = open world."""
         self.track = track
         self.params = params
         self.sim_dt = sim_dt
         self.substeps = max(1, int(round(control_dt / sim_dt)))
+        self.half_width = half_width
         self._p_sim = params._replace(dt=jnp.asarray(sim_dt, jnp.result_type(params.dt)))
 
     def reset(self, s0=0.0, ey0=0.0, speed0=0.1, key=None,
@@ -102,32 +117,54 @@ class TrackEnv:
             return rk4_step(blended_deriv, x, action, self._p_sim), None
 
         x_new, _ = jax.lax.scan(sub, sim.x, None, length=self.substeps)
-        s_new, _, _ = self.track.cartesian_to_frenet(
+        # terminated episodes are frozen: no further integration or progress
+        x_new = jnp.where(sim.done[..., None], sim.x, x_new)
+        s_new, ey_new, _ = self.track.cartesian_to_frenet(
             x_new[..., 0], x_new[..., 1], x_new[..., 4])
         # lap detection: wrapped progress jumps backwards by ~track length
         length = self.track.raceline.length
         ds = s_new - jnp.mod(sim.s, length)
-        lap = ds < -0.5 * length
+        lap = (ds < -0.5 * length) & ~sim.done
         laps = sim.laps + lap.astype(jnp.int32)
         s_unwrapped = jnp.where(lap, sim.s + ds + length, sim.s + ds)
-        return SimState(x_new, sim.t + self.substeps * self.sim_dt,
-                        s_unwrapped, laps, sim.done)
+        s_unwrapped = jnp.where(sim.done, sim.s, s_unwrapped)
+        # termination: numerical blow-up (the gym's crash) or off-track
+        crashed = ~jnp.all(jnp.isfinite(x_new), axis=-1)
+        if self.half_width is not None:
+            crashed = crashed | (jnp.abs(ey_new) > self.half_width)
+        t_new = jnp.where(sim.done, sim.t, sim.t + self.substeps * self.sim_dt)
+        return SimState(x_new, t_new, s_unwrapped, laps, sim.done | crashed)
 
     def rollout(self, sim: SimState, policy: Callable, n_steps: int):
         """Run ``policy(obs) -> action`` closed loop for n_steps (jittable if
-        the policy is). Returns (final SimState, stacked Observations)."""
+        the policy is). Returns (final SimState, StepRecord trajectory);
+        terminated episodes are frozen in place, and the StepRecord `done`
+        flags let metrics mask out post-termination steps."""
 
         def body(s, _):
             obs = self.observe(s)
             action = policy(obs)
             s_next = self.step(s, action)
-            return s_next, obs
+            return s_next, StepRecord(obs, s_next.done, s_next.laps)
 
         return jax.lax.scan(body, sim, None, length=n_steps)
 
 
-def deviation_metrics(obs_traj: Observation):
+def deviation_metrics(traj):
     """Mean absolute lateral / heading deviation over a trajectory — the
-    reference's robustness-sweep metrics (plot_eval_dnmpc.ipynb cells 3-7)."""
-    return (jnp.mean(jnp.abs(obs_traj.ey), axis=0),
-            jnp.mean(jnp.abs(obs_traj.epsi), axis=0))
+    reference's robustness-sweep metrics (plot_eval_dnmpc.ipynb cells 3-7).
+
+    Accepts a StepRecord (masks steps after episode termination) or a bare
+    Observation trajectory (averages every step)."""
+    if isinstance(traj, StepRecord):
+        obs, done = traj.obs, traj.done
+        # obs[t] was observed BEFORE step t; it is live iff the episode had
+        # not terminated by the end of step t-1.
+        alive = jnp.concatenate(
+            [jnp.ones_like(done[:1]), ~done[:-1]], axis=0)
+        w = alive.astype(obs.ey.dtype)
+        n = jnp.maximum(jnp.sum(w, axis=0), 1.0)
+        return (jnp.sum(jnp.abs(obs.ey) * w, axis=0) / n,
+                jnp.sum(jnp.abs(obs.epsi) * w, axis=0) / n)
+    return (jnp.mean(jnp.abs(traj.ey), axis=0),
+            jnp.mean(jnp.abs(traj.epsi), axis=0))

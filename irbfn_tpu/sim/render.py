@@ -42,7 +42,9 @@ def draw_plan(ax, states_xy, color="tab:blue", label="plan"):
 
 
 def draw_trajectory(ax, obs_traj, color="tab:red", label="driven"):
-    """Driven closed-loop trajectory from stacked Observations (T, B?)."""
+    """Driven closed-loop trajectory from stacked Observations or a
+    StepRecord trajectory, shape (T, B?)."""
+    obs_traj = getattr(obs_traj, "obs", obs_traj)
     xs = np.asarray(obs_traj.pose_x)
     ys = np.asarray(obs_traj.pose_y)
     if xs.ndim == 1:

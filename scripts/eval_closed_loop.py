@@ -1,11 +1,14 @@
 #!/usr/bin/env python
 """Closed-loop robustness sweep (reference scripts/eval_dnmpc.py equivalent):
 run a planner in the closed-loop simulator over a (mu, cs) grid x noisy-start
-trials, collect lateral/heading deviation and lap completion.
+trials, collect lateral/heading deviation, completion rate, laps.
 
 TPU-first: all (mu, cs, trial) episodes run as ONE vmapped batch on device —
 the reference fans the grid out over joblib processes, each stepping
-f1tenth_gym + IPOPT point-by-point.
+f1tenth_gym + IPOPT point-by-point (eval_dnmpc.py:40-127). Failed trials
+(off-track / numerical crash before the horizon ends) are retried with fresh
+start noise, like the reference's trial_fail loop (eval_dnmpc.py:63-101);
+the reference's 500 s wall timeout is structural here (fixed-step rollouts).
 """
 
 import argparse
@@ -23,10 +26,59 @@ enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
-from irbfn_tpu.dynamics.params import VehicleParams, f1tenth_params
+from irbfn_tpu.dynamics.params import (VehicleParams, f1tenth_params,
+                                       fullscale_params)
 from irbfn_tpu.sim import TrackEnv, deviation_metrics, oval_track
+from irbfn_tpu.sim.track import interp_wrapped
+from irbfn_tpu.solvers import NMPCConfig, solve_nmpc_batch
 from irbfn_tpu.train import load_model
 from irbfn_tpu.utils.args import add_eval_args
+
+
+def make_policy(args, track):
+    """Build the batched closed-loop policy. The NMPC branch runs the real
+    AL/projected-Newton solver every control step (the reference's DNMPC
+    planner-in-the-loop, eval_dnmpc.py:69-75) — all episodes solved as one
+    batch on device."""
+    rl = track.raceline
+    if args.planner == "irbfn":
+        if not args.config_f:
+            raise SystemExit("--planner irbfn requires --config_f/--ckpt")
+        from irbfn_tpu.planning import IRBFNFrenetPlanner
+
+        model, net_params, _ = load_model(args.config_f, args.ckpt)
+        planner = IRBFNFrenetPlanner(model, {"params": net_params["params"]},
+                                     track)
+
+        def policy(obs):
+            res = planner._plan_fn(planner._params, obs.s, obs.ey, obs.epsi,
+                                   obs.delta, obs.linear_vel_x,
+                                   obs.linear_vel_y, obs.ang_vel_z)
+            return jnp.stack([res.accel, res.steer_vel], axis=-1)
+    elif args.planner == "nmpc":
+        # nominal internal model: the sim's (mu, cs) vary, the planner's
+        # don't — that mismatch IS the robustness experiment
+        solver_params = fullscale_params(dtype=jnp.float32)
+        cfg = NMPCConfig(gn_iters=args.gn_iters, al_outer=args.al_outer)
+
+        def policy(obs):
+            zeros = jnp.zeros_like(obs.ey)
+            x0 = jnp.stack([zeros, obs.ey, obs.delta, obs.linear_vel_x,
+                            obs.linear_vel_y, obs.ang_vel_z, obs.epsi],
+                           axis=-1)
+            curv = interp_wrapped(rl.ss, rl.ks, obs.s, rl.length)
+            vx_goal = interp_wrapped(rl.ss, rl.vxs, obs.s, rl.length)
+            goal = jnp.stack([zeros] * 3 + [vx_goal] + [zeros] * 3, axis=-1)
+            sol = solve_nmpc_batch(x0, goal, curv, solver_params, cfg)
+            return jnp.stack([sol.accel[..., 0], sol.steer_vel[..., 0]],
+                             axis=-1)
+    else:  # pursuit: geometric P-control baseline
+        def policy(obs):
+            sv = jnp.clip(-1.0 * obs.ey - 1.5 * obs.epsi - 0.8 * obs.delta,
+                          -3.2, 3.2)
+            a = jnp.clip(2.0 * (3.0 - obs.linear_vel_x), -9.51, 9.51)
+            return jnp.stack([a, sv], axis=-1)
+    return policy
 
 
 def main():
@@ -34,7 +86,14 @@ def main():
     add_eval_args(p)
     p.add_argument("--config_f", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
-    p.add_argument("--planner", choices=["irbfn", "nmpc"], default="nmpc")
+    p.add_argument("--planner", choices=["irbfn", "nmpc", "pursuit"],
+                   default="nmpc")
+    p.add_argument("--half_width", type=float, default=2.0,
+                   help="corridor half width; leaving it fails the trial")
+    p.add_argument("--max_retries", type=int, default=2,
+                   help="noisy-start retries for failed trials")
+    p.add_argument("--gn_iters", type=int, default=25)
+    p.add_argument("--al_outer", type=int, default=3)
     args = p.parse_args()
 
     mus = np.linspace(args.mu_min, args.mu_max, args.num_mu)
@@ -58,44 +117,48 @@ def main():
         a_max=jnp.full((B,), base.a_max), s_max=jnp.full((B,), base.s_max),
         v_max=jnp.full((B,), base.v_max))
 
-    env = TrackEnv(track, params_b)
+    env = TrackEnv(track, params_b, half_width=args.half_width)
+    policy = make_policy(args, track)
     key = jax.random.PRNGKey(args.seed)
-    sim = env.reset(s0=jnp.zeros(B), speed0=1.0, key=key,
-                    noise_scale=args.noise_scale, batch_shape=(B,))
 
-    if args.planner == "irbfn" and args.config_f:
-        from irbfn_tpu.planning import IRBFNFrenetPlanner
+    # trial loop with noisy-start retries: rerun the (compiled) batched
+    # rollout, keeping each episode's first successful attempt
+    ey_res = np.full(B, np.nan)
+    epsi_res = np.full(B, np.nan)
+    laps_res = np.zeros(B)
+    success = np.zeros(B, bool)
+    for attempt in range(args.max_retries + 1):
+        key, sub = jax.random.split(key)
+        final, traj = env.rollout(
+            env.reset(s0=jnp.zeros(B), speed0=1.0, key=sub,
+                      noise_scale=args.noise_scale, batch_shape=(B,)),
+            policy, n_steps=args.n_steps)
+        ey_mean, epsi_mean = deviation_metrics(traj)
+        ok = ~np.asarray(final.done)
+        newly = (ok | (attempt == args.max_retries)) & ~success
+        ey_res[newly] = np.asarray(ey_mean)[newly]
+        epsi_res[newly] = np.asarray(epsi_mean)[newly]
+        laps_res[newly] = np.asarray(final.laps)[newly]
+        success |= ok
+        if success.all():
+            break
+        print(f"attempt {attempt + 1}: {int((~success).sum())}/{B} trials "
+              "failed (off-track/crash), retrying with fresh noise")
 
-        model, net_params, _ = load_model(args.config_f, args.ckpt)
-        planner = IRBFNFrenetPlanner(model, {"params": net_params["params"]},
-                                     track)
+    def by_combo(a):
+        return a.reshape(n_combo, args.num_trials).mean(1)
 
-        def policy(obs):
-            res = planner._plan_fn(planner._params, obs.s, obs.ey, obs.epsi,
-                                   obs.delta, obs.linear_vel_x,
-                                   obs.linear_vel_y, obs.ang_vel_z)
-            return jnp.stack([res.accel, res.steer_vel], axis=-1)
-    else:
-        # simple pursuit baseline: P control on ey/epsi + speed hold
-        def policy(obs):
-            sv = jnp.clip(-1.0 * obs.ey - 1.5 * obs.epsi - 0.8 * obs.delta,
-                          -3.2, 3.2)
-            a = jnp.clip(2.0 * (3.0 - obs.linear_vel_x), -9.51, 9.51)
-            return jnp.stack([a, sv], axis=-1)
-
-    final, traj = env.rollout(sim, policy, n_steps=args.n_steps)
-    ey_mean, epsi_mean = deviation_metrics(traj)
-    laps = np.asarray(final.laps)
-
-    ey_by_combo = np.asarray(ey_mean).reshape(n_combo, args.num_trials).mean(1)
-    epsi_by_combo = np.asarray(epsi_mean).reshape(n_combo, args.num_trials).mean(1)
+    ey_c, epsi_c = by_combo(ey_res), by_combo(epsi_res)
+    comp_c, laps_c = by_combo(success.astype(float)), by_combo(laps_res)
     for i, (mu, cs) in enumerate(combos):
-        print(f"mu={mu:.2f} cs={cs:.2f}: mean|ey|={ey_by_combo[i]:.4f} "
-              f"mean|epsi|={epsi_by_combo[i]:.4f}")
+        print(f"mu={mu:.2f} cs={cs:.2f}: mean|ey|={ey_c[i]:.4f} "
+              f"mean|epsi|={epsi_c[i]:.4f} completion={comp_c[i]:.2f} "
+              f"laps={laps_c[i]:.1f}")
 
     with open(f"{args.out_name}.pkl", "wb") as f:
-        pickle.dump({"combos": combos, "ey": ey_by_combo,
-                     "epsi": epsi_by_combo, "laps": laps}, f)
+        pickle.dump({"combos": combos, "ey": ey_c, "epsi": epsi_c,
+                     "completion": comp_c, "laps": laps_c,
+                     "planner": args.planner}, f)
     print(f"saved {args.out_name}.pkl")
 
 

@@ -76,3 +76,41 @@ def test_env_lap_counting(track):
     for _ in range(4):
         sim = env.step(sim, jnp.asarray([0.0, 0.0]))
     assert int(sim.laps) >= 1
+
+
+def test_env_offtrack_terminates_and_freezes(track):
+    """Leaving the corridor sets done (the gym's collision-with-map
+    termination, eval_dnmpc.py:77-80) and the episode freezes in place."""
+    env = TrackEnv(track, f1tenth_params(dtype=jnp.float64), half_width=0.3)
+    sim = env.reset(s0=2.0, speed0=3.0)
+    # hard constant steer drives off the 0.3 m corridor quickly
+    for _ in range(20):
+        sim = env.step(sim, jnp.asarray([0.0, 3.0]))
+    assert bool(sim.done)
+    frozen = env.step(sim, jnp.asarray([5.0, 3.0]))
+    np.testing.assert_array_equal(np.asarray(frozen.x), np.asarray(sim.x))
+    assert float(frozen.s) == float(sim.s)
+    assert float(frozen.t) == float(sim.t)
+
+
+def test_deviation_metrics_mask_post_termination(track):
+    """Metrics only average live steps: a crashed episode's frozen tail
+    must not dilute (or inflate) its deviation statistics."""
+    env = TrackEnv(track, f1tenth_params(dtype=jnp.float64), half_width=0.8)
+    sim = env.reset(s0=jnp.asarray([2.0, 2.0]), speed0=2.0, batch_shape=(2,))
+
+    def policy(obs):
+        # episode 0 tracks the line; episode 1 steers hard off-track
+        sv_stab = jnp.clip(-1.5 * obs.ey - 1.0 * obs.epsi - 0.5 * obs.delta,
+                           -3.2, 3.2)
+        sv = jnp.where(jnp.arange(2) == 1, 3.0, sv_stab)
+        return jnp.stack([jnp.zeros_like(sv), sv], axis=-1)
+
+    final, traj = env.rollout(sim, policy, n_steps=40)
+    assert not bool(final.done[0]) and bool(final.done[1])
+    ey_mask, _ = deviation_metrics(traj)
+    ey_all, _ = deviation_metrics(traj.obs)  # unmasked fallback path
+    # unmasked average includes the frozen off-track tail -> differs
+    assert abs(float(ey_mask[1]) - float(ey_all[1])) > 1e-6
+    # the surviving episode is unaffected by masking
+    np.testing.assert_allclose(float(ey_mask[0]), float(ey_all[0]), rtol=1e-6)
