@@ -25,5 +25,12 @@ from irbfn_tpu.sim.track import from_csv  # noqa: E402
 from irbfn_tpu.sim import render  # noqa: E402
 from irbfn_tpu.sim import lidar  # noqa: E402
 from irbfn_tpu.sim.multi_agent import MultiAgentEnv, MultiAgentState, pairwise_collisions  # noqa: E402
+from irbfn_tpu.sim.map import (OccupancyMap, ScanSpec, distance_at,  # noqa: E402
+                               load_map_yaml, load_track_bundle,
+                               map_clearance, rasterize_track, save_map_yaml,
+                               trace_rays)
 
-__all__ += ["from_csv", "render", "lidar", "MultiAgentEnv", "MultiAgentState", "pairwise_collisions"]
+__all__ += ["from_csv", "render", "lidar", "MultiAgentEnv", "MultiAgentState",
+            "pairwise_collisions", "OccupancyMap", "ScanSpec", "distance_at",
+            "load_map_yaml", "load_track_bundle", "map_clearance",
+            "rasterize_track", "save_map_yaml", "trace_rays"]

@@ -66,15 +66,21 @@ class TrackEnv:
 
     def __init__(self, track: Track, params: VehicleParams,
                  sim_dt: float = 0.01, control_dt: float = 0.1,
-                 half_width: float | None = None):
+                 half_width: float | None = None, occ_map=None,
+                 car_radius: float = 0.0):
         """``half_width``: drivable corridor half width around the raceline;
         when set, leaving the corridor terminates the episode (the gym env's
-        collision-with-map `done`, eval_dnmpc.py:77-80). None = open world."""
+        collision-with-map `done`, eval_dnmpc.py:77-80). ``occ_map``: an
+        OccupancyMap — when set, collision is checked against the real map
+        geometry (distance field < car_radius) instead of / in addition to
+        the corridor. None for both = open world."""
         self.track = track
         self.params = params
         self.sim_dt = sim_dt
         self.substeps = max(1, int(round(control_dt / sim_dt)))
         self.half_width = half_width
+        self.occ_map = occ_map
+        self.car_radius = car_radius
         self._p_sim = params._replace(dt=jnp.asarray(sim_dt, jnp.result_type(params.dt)))
 
     def reset(self, s0=0.0, ey0=0.0, speed0=0.1, key=None,
@@ -132,6 +138,12 @@ class TrackEnv:
         crashed = ~jnp.all(jnp.isfinite(x_new), axis=-1)
         if self.half_width is not None:
             crashed = crashed | (jnp.abs(ey_new) > self.half_width)
+        if self.occ_map is not None:
+            from irbfn_tpu.sim.map import map_clearance
+
+            crashed = crashed | (map_clearance(
+                self.occ_map, x_new[..., 0], x_new[..., 1],
+                self.car_radius) < 0)
         t_new = jnp.where(sim.done, sim.t, sim.t + self.substeps * self.sim_dt)
         return SimState(x_new, t_new, s_unwrapped, laps, sim.done | crashed)
 

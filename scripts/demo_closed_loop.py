@@ -38,10 +38,26 @@ def main():
     p.add_argument("--n_steps", type=int, default=400)
     p.add_argument("--speed", type=float, default=3.0)
     p.add_argument("--out", type=str, default="demo_episode.png")
+    p.add_argument("--map_dir", type=str, default=None,
+                   help="reference-format track dir (<name>_map.yaml + "
+                        "raceline csv); collision then uses the real map")
+    p.add_argument("--speed_scale", type=float, default=1.0,
+                   help="scale the raceline speed profile (map tracks)")
     args = p.parse_args()
 
-    track = oval_track(n_samples=512, speed=args.speed)
-    env = TrackEnv(track, f1tenth_params(dtype=jnp.float32))
+    if args.map_dir:
+        from irbfn_tpu.sim.map import load_track_bundle
+
+        track, omap = load_track_bundle(args.map_dir)
+        if args.speed_scale != 1.0:
+            rl = track.raceline._replace(vxs=track.raceline.vxs
+                                         * args.speed_scale)
+            track = track._replace(raceline=rl)
+        env = TrackEnv(track, f1tenth_params(dtype=jnp.float32),
+                       occ_map=omap, car_radius=0.15)
+    else:
+        track = oval_track(n_samples=512, speed=args.speed)
+        env = TrackEnv(track, f1tenth_params(dtype=jnp.float32))
     sim = env.reset(s0=0.0, speed0=1.0, batch_shape=(1,))
     rl = track.raceline
 
@@ -89,9 +105,10 @@ def main():
     print(f"{args.planner}: {args.n_steps} control steps "
           f"({sim_time:.0f}s sim) in {wall:.2f}s wall "
           f"({sim_time / wall:.1f}x realtime)")
+    status = "CRASHED" if bool(final.done[0]) else "ok"
     print(f"laps {int(final.laps[0])}  progress {float(final.s[0]):.1f} m  "
           f"mean|ey| {float(ey_mean[0]):.3f} m  "
-          f"mean|epsi| {float(epsi_mean[0]):.3f} rad")
+          f"mean|epsi| {float(epsi_mean[0]):.3f} rad  [{status}]")
     plot_episode(track, traj, path=args.out)
     print(f"saved {args.out}")
 

@@ -94,6 +94,9 @@ def main():
                    help="noisy-start retries for failed trials")
     p.add_argument("--gn_iters", type=int, default=25)
     p.add_argument("--al_outer", type=int, default=3)
+    p.add_argument("--map_dir", type=str, default=None,
+                   help="reference-format track dir; collision then checks "
+                        "the real occupancy map instead of a corridor")
     args = p.parse_args()
 
     mus = np.linspace(args.mu_min, args.mu_max, args.num_mu)
@@ -103,7 +106,13 @@ def main():
     n_combo = combos.shape[0]
     B = n_combo * args.num_trials
 
-    track = oval_track(n_samples=512, speed=3.0)
+    omap = None
+    if args.map_dir:
+        from irbfn_tpu.sim.map import load_track_bundle
+
+        track, omap = load_track_bundle(args.map_dir)
+    else:
+        track = oval_track(n_samples=512, speed=3.0)
 
     # batched vehicle params: each episode gets its own (mu, cs)
     mu_b = jnp.asarray(np.repeat(combos[:, 0], args.num_trials), jnp.float32)
@@ -117,7 +126,9 @@ def main():
         a_max=jnp.full((B,), base.a_max), s_max=jnp.full((B,), base.s_max),
         v_max=jnp.full((B,), base.v_max))
 
-    env = TrackEnv(track, params_b, half_width=args.half_width)
+    env = TrackEnv(track, params_b,
+                   half_width=None if omap is not None else args.half_width,
+                   occ_map=omap, car_radius=0.15)
     policy = make_policy(args, track)
     key = jax.random.PRNGKey(args.seed)
 
