@@ -60,16 +60,36 @@ def bench_bvp_solves(n_points: int = 1 << 20):
     return n_points / dt
 
 
-def bench_plan_latency(batch: int = 1024, chain: int = 64):
-    """Batch-1024 WCRBF plan-inference latency p50 (the online hot op,
-    irbfn_planner.py:29-32 & 205).
+def _chain_slope(fwd, x, c1: int = 64, c2: int = 1024):
+    """Per-call latency of ``fwd`` via the two-chain-length slope.
 
-    Per-call wall time through the dev tunnel is dominated by host RTT
-    (~25 ms), far above the sub-ms on-device latency — so ``chain``
-    sequentially-dependent forwards run inside ONE jitted call and the
-    chain time is amortized; the data dependency (input perturbed by the
-    running checksum) stops XLA from parallelizing the chain.
-    """
+    ``chain`` sequentially-dependent forwards run inside ONE jitted call
+    (the data dependency — input perturbed by the running checksum — stops
+    XLA from parallelizing the chain); the tunnel's ~25 ms RTT and any
+    fixed dispatch cost cancel in (T(c2) - T(c1)) / (c2 - c1). A single
+    chain-divided measurement does NOT cancel them and over-reports sub-ms
+    latencies ~20x (round-1 lesson)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(chain):
+        def run(xx):
+            def body(i, acc):
+                y = fwd(xx + 1e-20 * acc)
+                return acc + jnp.sum(y)
+
+            return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
+        return jax.jit(run)
+
+    t1 = _time_op(chained(c1), x, warmup=2, iters=10)
+    t2 = _time_op(chained(c2), x, warmup=2, iters=10)
+    return (t2 - t1) / (c2 - c1)
+
+
+def bench_plan_latency(batch: int = 1024):
+    """Batch-1024 WCRBF plan-inference latency p50 (the online hot op,
+    irbfn_planner.py:29-32 & 205), XLA/flax path."""
     import jax
     import jax.numpy as jnp
 
@@ -77,18 +97,32 @@ def bench_plan_latency(batch: int = 1024, chain: int = 64):
 
     fn, (variables, x) = entry()
     assert x.shape[0] == batch
-
-    def chained(v, xx):
-        def body(i, acc):
-            y = fn(v, xx + 1e-20 * acc)
-            return acc + jnp.sum(y)
-
-        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
-
-    total_chain = _time_op(jax.jit(chained), variables, x, warmup=2, iters=10)
+    per_call = _chain_slope(lambda xx: fn(variables, xx), x)
     total_single = _time_op(jax.jit(lambda v, xx: jnp.sum(fn(v, xx))),
                             variables, x, warmup=3, iters=10)
-    return total_chain / chain, total_single
+    return per_call, total_single
+
+
+def bench_plan_latency_pallas(batch: int = 1024):
+    """Batch-1024 forward through the fused Pallas RBF kernel
+    (ops/pallas_rbf.py), same slope measurement as the XLA path — the
+    head-to-head VERDICT r1 item #5 asks for."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from irbfn_tpu.models import get_basis
+    from irbfn_tpu.ops.pallas_rbf import (wcrbf_forward_pallas,
+                                          wcrbf_params_to_pallas)
+
+    model = _flagship()
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8)))
+    ops = wcrbf_params_to_pallas(variables, model)
+    basis = get_basis("gaussian")
+    x = jnp.ones((batch, 8), jnp.float32)
+    return _chain_slope(
+        lambda xx: wcrbf_forward_pallas(xx, *ops, basis_fn=basis,
+                                        tile_b=512), x)
 
 
 def bench_nmpc_solves(n_points: int = 2048):
@@ -116,13 +150,18 @@ def bench_nmpc_solves(n_points: int = 2048):
 
 def main():
     solves_per_sec = bench_bvp_solves()
-    amortized_s, single_call_s = bench_plan_latency()
+    per_call_s, single_call_s = bench_plan_latency()
     extra = {
-        "plan_latency_batch1024_p50_ms": round(amortized_s * 1e3, 4),
+        "plan_latency_batch1024_p50_ms": round(per_call_s * 1e3, 4),
         "plan_latency_single_call_incl_rtt_ms": round(single_call_s * 1e3, 4),
     }
     if os.environ.get("IRBFN_BENCH_FAST", "0") != "1":
         extra["nmpc_solves_per_sec_per_chip"] = round(bench_nmpc_solves(), 1)
+        try:
+            extra["plan_latency_pallas_batch1024_ms"] = round(
+                bench_plan_latency_pallas() * 1e3, 4)
+        except Exception as e:  # pallas unsupported on this backend
+            extra["plan_latency_pallas_batch1024_ms"] = f"n/a ({e})"
     baseline_per_chip = 1e5 / 8.0  # v5e-8 north-star, per chip
     print(json.dumps({
         "metric": "clothoid_bvp_solves_per_sec_per_chip",

@@ -38,6 +38,39 @@ class PlanResult(NamedTuple):
     goal: jnp.ndarray  # (..., >=3) goal state used
 
 
+def _make_apply(model, params, use_pallas):
+    """Net forward for the plan step: the flax/XLA path, or the fused
+    Pallas kernel (ops/pallas_rbf.py — keeps the (B, R, K) basis tensor in
+    VMEM; 2.6x faster than the XLA path on v5e, 7.5 us vs 19 us at
+    batch 1024). Pallas serves plain WCRBFNet (linear head) only.
+
+    ``use_pallas``: True / False / "auto" (default in planners) — auto
+    serves through the fused kernel when the backend is a TPU and the model
+    qualifies, and falls back to flax elsewhere (compiled Mosaic kernels
+    don't run on CPU)."""
+    from irbfn_tpu.models.wcrbf import WCRBFNet
+
+    if use_pallas == "auto":
+        use_pallas = (isinstance(model, WCRBFNet)
+                      and jax.default_backend() == "tpu")
+    if not use_pallas:
+        return model.apply
+    from irbfn_tpu.ops.pallas_rbf import (wcrbf_forward_pallas,
+                                          wcrbf_params_to_pallas)
+
+    if not isinstance(model, WCRBFNet):
+        raise ValueError(
+            f"use_pallas supports WCRBFNet, got {type(model).__name__}")
+    ops = wcrbf_params_to_pallas(params, model)
+    basis = model.basis_func
+
+    def apply_fn(net_params, xin):
+        del net_params  # operands were extracted once at planner build
+        return wcrbf_forward_pallas(xin, *ops, basis_fn=basis)
+
+    return apply_fn
+
+
 def _lookahead_goal(rl_points, rl_vxs, rl_yaws, x, y, v, horizon_time=0.5,
                     min_lookahead=0.1):
     """Velocity-scaled lookahead waypoint on the raceline.
@@ -72,14 +105,15 @@ class IRBFNPlanner:
     def __init__(self, model, params, track: Track,
                  dyn_params: Optional[VehicleParams] = None,
                  mirror: bool = False, sv_ind: int = 5,
-                 horizon_time: float = 0.5, dtype=jnp.float32):
+                 horizon_time: float = 0.5, dtype=jnp.float32,
+                 use_pallas="auto"):
         self.track = track
         self.mirror = mirror
         self.sv_ind = sv_ind
         self._dtype = dtype
         p = (dyn_params or f1tenth_params()).astype(dtype)
         rl = track.raceline
-        apply_fn = model.apply
+        apply_fn = _make_apply(model, params, use_pallas)
 
         @jax.jit
         def plan_fn(net_params, x, y, theta, delta, v, beta, angv):
@@ -147,12 +181,12 @@ class IRBFNFrenetPlanner:
     def __init__(self, model, params, track: Track,
                  dyn_params: Optional[VehicleParams] = None,
                  mirror: bool = True, horizon: int = 5,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, use_pallas="auto"):
         self.track = track
         self._dtype = dtype
         p = (dyn_params or f1tenth_params()).astype(dtype)
         rl = track.raceline
-        apply_fn = model.apply
+        apply_fn = _make_apply(model, params, use_pallas)
         thresh = self.MIRROR_EY_THRESHOLD
 
         @jax.jit
