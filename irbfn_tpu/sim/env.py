@@ -67,13 +67,20 @@ class TrackEnv:
     def __init__(self, track: Track, params: VehicleParams,
                  sim_dt: float = 0.01, control_dt: float = 0.1,
                  half_width: float | None = None, occ_map=None,
-                 car_radius: float = 0.0):
+                 car_radius: float = 0.0, control_mode: str = "accl"):
         """``half_width``: drivable corridor half width around the raceline;
         when set, leaving the corridor terminates the episode (the gym env's
         collision-with-map `done`, eval_dnmpc.py:77-80). ``occ_map``: an
         OccupancyMap — when set, collision is checked against the real map
         geometry (distance field < car_radius) instead of / in addition to
-        the corridor. None for both = open world."""
+        the corridor. None for both = open world.
+
+        ``control_mode``: 'accl' — action = [accel, steer_vel] (default) —
+        or 'speed' — action = [speed, steer], run through the reference's PID
+        low-level controller each control period (the gym's
+        ``control_input='speed'`` pipeline, envs/action.py:62-84)."""
+        from irbfn_tpu.sim.safety import ACTION_MODES
+
         self.track = track
         self.params = params
         self.sim_dt = sim_dt
@@ -81,6 +88,11 @@ class TrackEnv:
         self.half_width = half_width
         self.occ_map = occ_map
         self.car_radius = car_radius
+        if control_mode not in ACTION_MODES:
+            raise ValueError(f"unknown control_mode {control_mode!r}; "
+                             f"one of {sorted(ACTION_MODES)}")
+        self.control_mode = control_mode
+        self._act = ACTION_MODES[control_mode]
         self._p_sim = params._replace(dt=jnp.asarray(sim_dt, jnp.result_type(params.dt)))
 
     def reset(self, s0=0.0, ey0=0.0, speed0=0.1, key=None,
@@ -114,13 +126,17 @@ class TrackEnv:
     def step(self, sim: SimState, action: jnp.ndarray) -> SimState:
         """Advance one control period (substepped RK4 at sim_dt).
 
-        action (..., 2) = [accel, steer_vel], held constant over substeps
-        (the reference's control pipeline holds actions over sim substeps).
+        action (..., 2): [accel, steer_vel] in 'accl' mode, [speed, steer] in
+        'speed' mode. The command is held constant over substeps (the
+        reference's control pipeline holds actions over sim substeps); in
+        'speed' mode the PID re-evaluates each substep against the current
+        state, like the gym's per-physics-step low-level loop.
         """
         action = jnp.asarray(action, sim.x.dtype)
 
         def sub(x, _):
-            return rk4_step(blended_deriv, x, action, self._p_sim), None
+            u = self._act(action, x, self._p_sim)
+            return rk4_step(blended_deriv, x, u, self._p_sim), None
 
         x_new, _ = jax.lax.scan(sub, sim.x, None, length=self.substeps)
         # terminated episodes are frozen: no further integration or progress
@@ -160,6 +176,48 @@ class TrackEnv:
             return s_next, StepRecord(obs, s_next.done, s_next.laps)
 
         return jax.lax.scan(body, sim, None, length=n_steps)
+
+
+_OBS_TYPES = {
+    # reference observation_factory presets (observation.py:266-285; the
+    # frenet_dynamic_state type is the v1.0.0 gym surface the frenet
+    # planners consume, nonlinear_dmpc_frenet.py:472-487)
+    "kinematic_state": ["pose_x", "pose_y", "delta", "linear_vel_x",
+                        "pose_theta"],
+    "dynamic_state": ["pose_x", "pose_y", "delta", "linear_vel_x",
+                      "pose_theta", "ang_vel_z", "beta"],
+    "frenet_dynamic_state": ["pose_x", "pose_y", "delta", "linear_vel_x",
+                             "linear_vel_y", "pose_theta", "ang_vel_z",
+                             "beta", "s", "ey", "epsi"],
+}
+
+
+def observation_factory(obs: Observation, obs_type: str = "original",
+                        features=None, sim: SimState | None = None,
+                        scan=None) -> dict:
+    """Select an observation dict by type — the reference's observation
+    factory (observation.py:266-285) over this env's batched Observation.
+
+    ``features`` overrides the preset field list (type 'features');
+    'original' returns every field. ``sim``/``scan`` optionally add the
+    reference's collision / lap_time / lap_count / scan entries."""
+    d = obs._asdict()
+    if sim is not None:
+        d["collision"] = sim.done.astype(obs.ey.dtype)
+        d["lap_time"] = sim.t
+        d["lap_count"] = sim.laps
+    if scan is not None:
+        d["scan"] = scan
+    if features is None:
+        if obs_type in ("original", "features"):
+            return d
+        if obs_type not in _OBS_TYPES:
+            raise ValueError(f"Invalid observation type {obs_type}.")
+        features = _OBS_TYPES[obs_type]
+    missing = [k for k in features if k not in d]
+    if missing:
+        raise KeyError(f"observation features not available: {missing}")
+    return {k: d[k] for k in features}
 
 
 def deviation_metrics(traj):
