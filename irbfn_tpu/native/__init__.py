@@ -5,7 +5,10 @@
   any numerical kernels with the device path);
 - ``TableStore``: memory-mapped binary solution-table store (the native
   data-loader: O(1) open, random-index gather for permutation batching,
-  append streaming from sharded datagen).
+  append streaming from sharded datagen);
+- ``edt``: exact multithreaded Euclidean distance transform (Felzenszwalb)
+  building the occupancy-map distance field host-side (the scipy EDT role in
+  the reference's scan simulator, laser_models.py:36-50).
 
 The shared library is compiled from ``native/*.cpp`` with g++ on first use
 and cached next to the sources; all consumers degrade gracefully (tests skip,
@@ -28,14 +31,14 @@ _lib: Optional[ctypes.CDLL] = None
 
 def _build() -> bool:
     srcs = [os.path.join(_NATIVE_DIR, f)
-            for f in ("clothoid_oracle.cpp", "table_io.cpp")]
+            for f in ("clothoid_oracle.cpp", "table_io.cpp", "edt.cpp")]
     if not all(os.path.exists(s) for s in srcs):
         return False
     newest_src = max(os.path.getmtime(s) for s in srcs)
     if (os.path.exists(_LIB_PATH)
             and os.path.getmtime(_LIB_PATH) >= newest_src):
         return True
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
            "-o", _LIB_PATH] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True)
@@ -85,6 +88,10 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float)]
     lib.table_close.restype = None
     lib.table_close.argtypes = [ctypes.c_void_p]
+    lib.edt_f32.restype = None
+    lib.edt_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     return lib
 
@@ -110,6 +117,22 @@ def clothoid_oracle(goals: np.ndarray):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out, status
+
+
+def edt(free: np.ndarray, resolution: float = 1.0) -> np.ndarray:
+    """Exact EDT of a binary grid (nonzero = free): per-cell distance in
+    meters to the nearest obstacle cell (0 inside obstacles). Matches
+    ``resolution * scipy.ndimage.distance_transform_edt(free != 0)``."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    free = np.ascontiguousarray(np.asarray(free) != 0, np.uint8)
+    h, w = free.shape
+    out = np.empty((h, w), np.float32)
+    lib.edt_f32(free.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+                resolution,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
 
 
 def _fp(a):

@@ -120,10 +120,17 @@ def from_bitmap(free: np.ndarray, resolution: float,
                 origin=(0.0, 0.0, 0.0), dtype=jnp.float32) -> OccupancyMap:
     """Build an OccupancyMap from a binary grid (True/nonzero = free space,
     row 0 = the origin corner). EDT is computed host-side once (reference
-    get_dt, laser_models.py:36-50); the field then lives on device."""
-    from scipy.ndimage import distance_transform_edt
+    get_dt, laser_models.py:36-50) by the native C++ transform
+    (native/edt.cpp, multithreaded exact Felzenszwalb), falling back to scipy
+    when no toolchain is available; the field then lives on device."""
+    from irbfn_tpu import native
 
-    dist = resolution * distance_transform_edt(np.asarray(free) != 0)
+    if native.available():
+        dist = native.edt(free, float(resolution))
+    else:
+        from scipy.ndimage import distance_transform_edt
+
+        dist = resolution * distance_transform_edt(np.asarray(free) != 0)
     ox, oy, oth = origin
     return OccupancyMap(
         jnp.asarray(dist, dtype), jnp.asarray(ox, dtype),

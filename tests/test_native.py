@@ -65,3 +65,29 @@ def test_table_store_out_of_range_gather(tmp_path):
     with store as t:
         xi, yi, vi = t.gather(np.array([0, 99, 3]))
         assert xi.shape[0] == 2  # invalid index skipped
+
+
+def test_edt_matches_scipy_oracle():
+    """Native Felzenszwalb EDT == scipy exact EDT on random + structured
+    bitmaps (both algorithms are exact; equality up to f32 rounding)."""
+    pytest.importorskip("scipy")
+    from scipy.ndimage import distance_transform_edt
+
+    from irbfn_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.random((64, 96)) > 0.3,          # speckle
+        np.zeros((8, 8), bool),              # all obstacle
+        rng.random((255, 129)) > 0.02,       # sparse obstacles, odd shape
+    ]
+    ring = np.zeros((128, 128), bool)
+    ring[8:-8, 8:-8] = True
+    ring[40:-40, 40:-40] = False             # square annulus corridor
+    cases.append(ring)
+    for free in cases:
+        got = native.edt(free, resolution=0.25)
+        want = 0.25 * distance_transform_edt(free)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
