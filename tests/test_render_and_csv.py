@@ -30,3 +30,20 @@ def test_plot_episode_renders(tmp_path):
     import os
 
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_animate_episode_writes_gif(tmp_path):
+    """RecordVideo-parity: a short batched episode renders to a GIF."""
+    import jax.numpy as jnp
+
+    from irbfn_tpu.dynamics.params import f1tenth_params
+    from irbfn_tpu.sim import TrackEnv, oval_track
+    from irbfn_tpu.sim.render import animate_episode
+
+    track = oval_track()
+    env = TrackEnv(track, f1tenth_params(dt=0.1))
+    sim = env.reset(batch_shape=(2,), speed0=2.0)
+    _, traj = env.rollout(sim, lambda o: jnp.zeros(o.ey.shape + (2,)), 8)
+    out = tmp_path / "ep.gif"
+    animate_episode(track, traj, str(out), fps=5)
+    assert out.exists() and out.stat().st_size > 2000
