@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +82,8 @@ def _pad_rows(rows: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
 
 def solve_lattice_sharded(solve_fn: Callable, rows: np.ndarray,
                           mesh=None, batch_per_device: int = 65536,
-                          progress: bool = False, args=()):
+                          progress: bool = False, args=(),
+                          pipeline_depth: int = 2):
     """Run ``solve_fn`` (a batched jittable rows->pytree solver) over a
     lattice, sharded across the mesh's data axis.
 
@@ -97,6 +98,12 @@ def solve_lattice_sharded(solve_fn: Callable, rows: np.ndarray,
             (replicated). Sweep parameters (e.g. mu) must come through here
             — baked into the closure they become compile-time constants and
             every sweep value recompiles the solver.
+        pipeline_depth: chunks kept in flight. The device->host fetch of
+            chunk i is a blocking RPC (slow through the dev tunnel, ~10 MB/s)
+            but the device computes asynchronously — dispatching chunk i+1
+            BEFORE materializing chunk i overlaps transfer with compute
+            (measured 2x on multi-million-row TPU datagen runs). Depth bounds
+            in-flight HBM at (depth+1) chunks.
     Returns:
         pytree of np arrays with leading dim N.
     """
@@ -117,20 +124,46 @@ def solve_lattice_sharded(solve_fn: Callable, rows: np.ndarray,
     import time as _time
 
     t_start = _time.time()
+    inflight: list = []  # (device result, n_valid, rows done at dispatch)
+
+    def _drain_one():
+        result, n_valid, done = inflight.pop(0)
+        outs.append(jax.tree.map(lambda a: np.asarray(a)[:n_valid], result))
+        if progress:
+            rate = done / max(_time.time() - t_start, 1e-9)
+            print(f"  lattice progress {done:,}/{n_total:,} "
+                  f"({rate:,.0f} rows/s incl. compile)", flush=True)
+
     for start in range(0, n_total, chunk_rows):
         chunk = rows[start:start + chunk_rows]
         # pad the tail chunk to the full chunk size so every dispatch reuses
         # one compiled program (a second shape would recompile the solver)
         chunk, n_valid = _pad_rows(chunk, chunk_rows if n_total > chunk_rows
                                    else n_dev)
-        result = jitted(jnp.asarray(chunk), *args)
-        outs.append(jax.tree.map(lambda a: np.asarray(a)[:n_valid], result))
-        if progress:
-            done = min(start + chunk_rows, n_total)
-            rate = done / max(_time.time() - t_start, 1e-9)
-            print(f"  lattice progress {done:,}/{n_total:,} "
-                  f"({rate:,.0f} rows/s incl. compile)", flush=True)
+        inflight.append((jitted(jnp.asarray(chunk), *args), n_valid,
+                         min(start + chunk_rows, n_total)))
+        if len(inflight) > pipeline_depth:
+            _drain_one()
+    while inflight:
+        _drain_one()
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+
+
+class TableSolution(NamedTuple):
+    """The table-relevant slice of an NMPCSolution: what datagen actually
+    persists (frenet_table below). Fetching ONLY this over the host link —
+    with the activation one-hot as bool — cuts the per-row payload 4x vs the
+    full solution (states/kkt are discarded by the table format anyway)."""
+
+    accel: jnp.ndarray  # (..., T)
+    steer_vel: jnp.ndarray  # (..., T)
+    active_onehot: jnp.ndarray  # (..., 86) bool
+    feasible: jnp.ndarray  # (...,) bool
+
+    @classmethod
+    def from_solution(cls, sol) -> "TableSolution":
+        return cls(sol.accel, sol.steer_vel,
+                   sol.active_onehot.astype(jnp.bool_), sol.feasible)
 
 
 def frenet_table(rows, solution, n_constraints: int = 86) -> Dict[str, np.ndarray]:

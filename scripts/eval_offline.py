@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Offline accuracy eval (reference scripts/eval_irbfn_dnmpc.py equivalent):
-forward-pass the whole table through the trained net in one batched call,
-roll out predicted vs oracle control sequences, print first/final-state
-position / heading / velocity errors."""
+forward-pass the whole table through the trained net, roll out predicted vs
+oracle control sequences, print first/final-state position / heading /
+velocity errors. Multi-million-row tables stream through in fixed-size
+chunks (one compiled program; metrics accumulated) so HBM stays bounded."""
 
 import argparse
 import sys
@@ -29,6 +30,7 @@ def main():
     p.add_argument("--ckpt", type=str, required=True)
     p.add_argument("--npz_path", type=str, required=True)
     p.add_argument("--mirror", action="store_true")
+    p.add_argument("--chunk", type=int, default=1 << 20)
     args = p.parse_args()
 
     model, params, config = load_model(args.config_f, args.ckpt)
@@ -40,25 +42,44 @@ def main():
     if args.mirror:
         inputs, outputs = mirror_frenet_table(inputs, outputs)
 
-    x = jnp.asarray(inputs, jnp.float32)
-    y = jnp.asarray(outputs, jnp.float32)
-    pred = model.apply({"params": params["params"]}, x)
+    import jax
 
     dyn = f1tenth_params(mu=config.get("mu", 1.0),
                          cs=config.get("cs", 5.0)).to_vector()
-    init = x[:, [0, 0, 1, 2, 3, 5, 6, 7]]
-    actual = integrate_frenet(jnp.concatenate([init, y], axis=1), dyn)
-    predicted = integrate_frenet(jnp.concatenate([init, pred], axis=1), dyn)
 
-    def report(k, name):
-        dy = np.asarray(predicted[:, k] - actual[:, k])
-        print(f"{name}: ey MAE {np.abs(dy[:, 1]).mean():.5f}  "
-              f"epsi MAE {np.abs(dy[:, 6]).mean():.5f}  "
-              f"vx MAE {np.abs(dy[:, 3]).mean():.5f}")
+    @jax.jit
+    def chunk_sums(x, y):
+        """Per-chunk error SUMS (reduced on device; only scalars cross the
+        host link): control |err|, first/final-state |err| on ey/epsi/vx."""
+        pred = model.apply({"params": params["params"]}, x)
+        init = x[:, [0, 0, 1, 2, 3, 5, 6, 7]]
+        actual = integrate_frenet(jnp.concatenate([init, y], axis=1), dyn)
+        predicted = integrate_frenet(jnp.concatenate([init, pred], axis=1),
+                                     dyn)
+        d = predicted - actual
+        picks = jnp.stack([
+            jnp.abs(d[:, 0, 1]).sum(), jnp.abs(d[:, 0, 6]).sum(),
+            jnp.abs(d[:, 0, 3]).sum(), jnp.abs(d[:, -1, 1]).sum(),
+            jnp.abs(d[:, -1, 6]).sum(), jnp.abs(d[:, -1, 3]).sum(),
+        ])
+        return jnp.abs(pred - y).mean(axis=1).sum(), picks
 
-    print(f"control L1: {float(jnp.abs(pred - y).mean()):.5f}")
-    report(0, "first state")
-    report(-1, "final state")
+    n = inputs.shape[0]
+    ctrl_sum, pick_sum = 0.0, np.zeros(6)
+    for s in range(0, n, args.chunk):
+        # the tail chunk compiles once at its own (smaller) shape
+        xs = jnp.asarray(inputs[s:s + args.chunk], jnp.float32)
+        ys = jnp.asarray(outputs[s:s + args.chunk], jnp.float32)
+        c, k = chunk_sums(xs, ys)
+        ctrl_sum += float(c)
+        pick_sum += np.asarray(k)
+
+    pick = pick_sum / n
+    print(f"control L1: {ctrl_sum / n:.5f}")
+    print(f"first state: ey MAE {pick[0]:.5f}  epsi MAE {pick[1]:.5f}  "
+          f"vx MAE {pick[2]:.5f}")
+    print(f"final state: ey MAE {pick[3]:.5f}  epsi MAE {pick[4]:.5f}  "
+          f"vx MAE {pick[5]:.5f}")
 
 
 if __name__ == "__main__":
