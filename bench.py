@@ -125,6 +125,23 @@ def bench_plan_latency_pallas(batch: int = 1024):
                                         tile_b=512), x)
 
 
+def _cost_flops(jitted, *args):
+    """XLA's own FLOP count for one call of a jitted fn (0 if the backend
+    doesn't expose cost analysis)."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+# v5e peak: 197 TFLOP/s bf16 (f32 on the MXU runs below this; the % is a
+# conservative utilization floor). Override for other chips.
+PEAK_FLOPS = float(os.environ.get("IRBFN_PEAK_FLOPS", 197e12))
+
+
 def bench_nmpc_solves(n_points: int = 2048):
     """Frenet NMPC solves/sec (the oracle datagen workload; replaces
     IPOPT-over-joblib, nmpc_data_generator_frenet.py:110-113)."""
@@ -145,7 +162,8 @@ def bench_nmpc_solves(n_points: int = 2048):
     fn = jax.jit(
         lambda r: solve_lattice_point(r, p, NMPCConfig()).accel.sum())
     dt = _time_op(fn, rows, warmup=1, iters=3)
-    return n_points / dt
+    flops = _cost_flops(fn, rows)
+    return n_points / dt, flops / dt
 
 
 def main():
@@ -156,8 +174,15 @@ def main():
         "plan_latency_single_call_incl_rtt_ms": round(single_call_s * 1e3, 4),
     }
     if os.environ.get("IRBFN_BENCH_FAST", "0") != "1":
-        nmpc_rate = bench_nmpc_solves()
+        nmpc_rate, nmpc_flops_rate = bench_nmpc_solves()
         extra["nmpc_solves_per_sec_per_chip"] = round(nmpc_rate, 1)
+        if nmpc_flops_rate > 0:
+            # achieved FLOP/s from XLA's compiled cost analysis; % of bf16
+            # peak (the VPU-bound solver won't approach matmul peak — this
+            # substantiates where the wall clock goes)
+            extra["nmpc_tflops_per_sec"] = round(nmpc_flops_rate / 1e12, 3)
+            extra["nmpc_pct_of_bf16_peak"] = round(
+                100 * nmpc_flops_rate / PEAK_FLOPS, 3)
         # reference-equivalent: IPOPT behind a 100-process joblib pool
         # (nmpc_data_generator_frenet.py:110-113). IPOPT on this 5-step
         # frenet NLP runs ~20 ms/solve single-core, so the full reference
