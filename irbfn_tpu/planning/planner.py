@@ -181,13 +181,21 @@ class IRBFNFrenetPlanner:
     def __init__(self, model, params, track: Track,
                  dyn_params: Optional[VehicleParams] = None,
                  mirror: bool = True, horizon: int = 5,
-                 dtype=jnp.float32, use_pallas="auto"):
+                 dtype=jnp.float32, use_pallas="auto", input_bounds=None):
+        """``input_bounds``: optional (8, 2) per-dim [lo, hi] — the trained
+        table's grid range. When given, net inputs are clamped into it
+        (after mirroring), so off-table states (e.g. a corner sharper than
+        the table's curvature axis) degrade to the nearest trained problem
+        instead of extrapolating the RBF tails. The solver-table analogue of
+        the explicit planner's -999 guard (explicit_planner.py:390-392)."""
         self.track = track
         self._dtype = dtype
         p = (dyn_params or f1tenth_params()).astype(dtype)
         rl = track.raceline
         apply_fn = _make_apply(model, params, use_pallas)
         thresh = self.MIRROR_EY_THRESHOLD
+        if input_bounds is not None:
+            input_bounds = jnp.asarray(input_bounds, dtype)
 
         @jax.jit
         def plan_fn(net_params, s, ey, epsi, delta, vx, vy, wz):
@@ -197,6 +205,9 @@ class IRBFNFrenetPlanner:
             sign = jnp.where(need_m, -1.0, 1.0)
             net_in = jnp.stack([sign * ey, delta, vx, vy, vx_goal, wz,
                                 sign * epsi, curv], axis=-1)
+            if input_bounds is not None:
+                net_in = jnp.clip(net_in, input_bounds[:, 0],
+                                  input_bounds[:, 1])
             u = apply_fn(net_params, jnp.atleast_2d(net_in))
             u = jnp.reshape(u, net_in.shape[:-1] + (u.shape[-1],))
             u = u.astype(net_in.dtype)

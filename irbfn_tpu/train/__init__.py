@@ -2,6 +2,7 @@
 
 from irbfn_tpu.train.checkpoints import (
     load_config,
+    input_bounds_from_config,
     load_model,
     restore_params,
     save_checkpoint,
@@ -21,7 +22,7 @@ from irbfn_tpu.train.trainer import (
 )
 
 __all__ = [
-    "load_config", "load_model", "restore_params", "save_checkpoint",
+    "input_bounds_from_config", "load_config", "load_model", "restore_params", "save_checkpoint",
     "save_config", "StepMetrics", "TrainState", "cartesian_fullint_loss",
     "cluster_fullint_loss", "create_train_state", "frenet_fullint_loss",
     "frenet_oneint_loss", "make_train_step", "mirror_frenet_table",

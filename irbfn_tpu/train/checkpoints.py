@@ -85,6 +85,21 @@ def restore_params(ckpt_dir: str, step: Optional[int] = None, template=None):
     return params
 
 
+def input_bounds_from_config(config: dict):
+    """Per-input-dim (in_features, 2) [lo, hi] of the trained grid, from the
+    config's region bounds (the union of segment bounds per activation dim).
+    Dims without region bounds get +-inf (no clamp). For
+    IRBFNFrenetPlanner(input_bounds=...)."""
+    n = int(config["in_features"])
+    out = np.full((n, 2), (-np.inf, np.inf), np.float64)
+    for d, lbs, ubs in zip(config.get("activation_idx", []),
+                           config.get("lower_bounds", []),
+                           config.get("upper_bounds", [])):
+        out[int(d), 0] = float(min(lbs))
+        out[int(d), 1] = float(max(ubs))
+    return out
+
+
 def load_model(config_path: str, ckpt_dir: Optional[str] = None,
                centers=None, step: Optional[int] = None):
     """Rebuild (model, params) from a config YAML + checkpoint dir — the

@@ -63,11 +63,12 @@ def main():
 
     if args.planner == "irbfn" and args.config_f:
         from irbfn_tpu.planning import IRBFNFrenetPlanner
-        from irbfn_tpu.train import load_model
+        from irbfn_tpu.train import input_bounds_from_config, load_model
 
-        model, params, _ = load_model(args.config_f, args.ckpt)
+        model, params, conf = load_model(args.config_f, args.ckpt)
         planner = IRBFNFrenetPlanner(model, {"params": params["params"]},
-                                     track)
+                                     track,
+                                     input_bounds=input_bounds_from_config(conf))
 
         def policy(obs):
             res = planner._plan_fn(planner._params, obs.s, obs.ey, obs.epsi,

@@ -45,10 +45,12 @@ def make_policy(args, track):
         if not args.config_f:
             raise SystemExit("--planner irbfn requires --config_f/--ckpt")
         from irbfn_tpu.planning import IRBFNFrenetPlanner
+        from irbfn_tpu.train import input_bounds_from_config
 
-        model, net_params, _ = load_model(args.config_f, args.ckpt)
+        model, net_params, conf = load_model(args.config_f, args.ckpt)
         planner = IRBFNFrenetPlanner(model, {"params": net_params["params"]},
-                                     track)
+                                     track,
+                                     input_bounds=input_bounds_from_config(conf))
 
         def policy(obs):
             res = planner._plan_fn(planner._params, obs.s, obs.ey, obs.epsi,

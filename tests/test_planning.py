@@ -189,3 +189,35 @@ def test_cartesian_planner_obs_api():
         v=jnp.full(B, 3.0), beta=jnp.zeros(B), angv=jnp.zeros(B))
     assert res.accel.shape == (B,)
     assert res.goal.shape == (B, 4)
+
+
+def test_frenet_planner_input_clamp():
+    """Off-table states clamp to the grid edge: an absurd query returns the
+    same controls as the grid-edge query (no RBF-tail extrapolation), while
+    in-range queries are unaffected by the clamp."""
+    from irbfn_tpu.train import input_bounds_from_config
+
+    track = oval_track(n_samples=256)
+    model = WCRBFNet(
+        in_features=8, out_features=10, num_kernels=8,
+        basis_func=get_basis("gaussian"), num_regions=2,
+        lower_bounds=[[-2.0, 0.0]], upper_bounds=[[0.0, 2.0]],
+        dimension_ranges=[[0], [1]], activation_idx=[0], delta=[15.0])
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8)))
+    config = {"in_features": 8, "activation_idx": [0, 2],
+              "lower_bounds": [[-2.0, 0.0], [1.0]],
+              "upper_bounds": [[0.0, 2.0], [7.0]]}
+    bounds = input_bounds_from_config(config)
+    clamped = IRBFNFrenetPlanner(model, params, track, input_bounds=bounds)
+    free = IRBFNFrenetPlanner(model, params, track)
+
+    args = dict(s=0.0, ey=0.1, epsi=0.0, delta=0.0, vy=0.0, wz=0.0)
+    lo, hi = bounds[2]  # vx dim
+    a_in = clamped.plan_batch(vx=(lo + hi) / 2, **args)
+    b_in = free.plan_batch(vx=(lo + hi) / 2, **args)
+    np.testing.assert_allclose(np.asarray(a_in.accel),
+                               np.asarray(b_in.accel), rtol=1e-6)
+    a_out = clamped.plan_batch(vx=hi + 50.0, **args)
+    a_edge = clamped.plan_batch(vx=hi, **args)
+    np.testing.assert_allclose(np.asarray(a_out.accel),
+                               np.asarray(a_edge.accel), rtol=1e-6)
