@@ -158,10 +158,12 @@ class TableStore:
 
     def append(self, inputs: np.ndarray, outputs: np.ndarray,
                valid: np.ndarray):
+        from irbfn_tpu.parallel.datagen import controls_block
+
         lib = load()
         inputs = np.ascontiguousarray(inputs, np.float32)
-        outputs = np.ascontiguousarray(
-            outputs.reshape(inputs.shape[0], -1), np.float32)
+        # (N, T, 2) control sequences flatten to the canonical BLOCK layout
+        outputs = np.ascontiguousarray(controls_block(outputs), np.float32)
         valid = np.ascontiguousarray(valid, np.float32)
         rc = lib.table_append(self.path.encode(), _fp(inputs), _fp(outputs),
                               _fp(valid), inputs.shape[0])

@@ -185,3 +185,21 @@ def frenet_table(rows, solution, n_constraints: int = 86) -> Dict[str, np.ndarra
 
 def save_table(path: str, table: Dict[str, np.ndarray]):
     np.savez(path, **table)
+
+
+def controls_block(outputs: np.ndarray) -> np.ndarray:
+    """Flatten a table's (N, T, 2) [accel, steer-vel] control sequences into
+    the BLOCK layout ``[a_0..a_{T-1}, sv_0..sv_{T-1}]`` (N, 2T).
+
+    This is the net-output/rollout-ABI layout: the reference trainer unpacks
+    ``outputs[:, :, 0]`` / ``[:, :, 1]`` and concatenates the blocks
+    (train_nmpc_frenet.py:66-67), and the dynamics adapters reshape controls
+    column-major (dynamics.py:98). A plain ``reshape(N, -1)`` on the npz
+    INTERLEAVES [a0, sv0, a1, sv1, ...] — consumed as block layout that
+    reads sv_2 where sv_0 belongs (a 2-control-period steering delay in the
+    planner). Already-flat (N, 2T) arrays pass through unchanged."""
+    outputs = np.asarray(outputs)
+    if outputs.ndim == 2:
+        return outputs
+    n, t, c = outputs.shape
+    return outputs.transpose(0, 2, 1).reshape(n, c * t)

@@ -51,7 +51,9 @@ def grid_table_from_arrays(inputs: np.ndarray, outputs: np.ndarray,
     lows = np.array([a[0] for a in axes])
     steps = np.array([(a[-1] - a[0]) / max(len(a) - 1, 1) if len(a) > 1 else 1.0
                       for a in axes])
-    out_flat = outputs.reshape(outputs.shape[0], -1)
+    from irbfn_tpu.parallel.datagen import controls_block
+
+    out_flat = controls_block(outputs)
     if valid is None:
         valid = ~np.any(out_flat == -999.0, axis=1)
     return GridTable(jnp.asarray(lows, jnp.float32),
@@ -86,7 +88,9 @@ class NNTable(NamedTuple):
 
 def nn_table_from_arrays(inputs, outputs, scale=None) -> NNTable:
     inputs = np.asarray(inputs, np.float32)
-    out_flat = np.asarray(outputs).reshape(inputs.shape[0], -1)
+    from irbfn_tpu.parallel.datagen import controls_block
+
+    out_flat = controls_block(outputs)
     valid = ~np.any(out_flat == -999.0, axis=1)
     inputs, out_flat = inputs[valid], out_flat[valid]
     if scale is None:

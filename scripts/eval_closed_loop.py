@@ -57,6 +57,33 @@ def make_policy(args, track):
                                    obs.delta, obs.linear_vel_x,
                                    obs.linear_vel_y, obs.ang_vel_z)
             return jnp.stack([res.accel, res.steer_vel], axis=-1)
+    elif args.planner == "explicit":
+        # explicit-MPC table lookup (reference ExplicitFrenetPlanner in the
+        # loop): nearest-lattice-cell controls via grid-index arithmetic,
+        # mirror trick for ey below the table range, coast on infeasible
+        # cells (explicit_planner.py:390-392 guard)
+        if not args.table_path:
+            raise SystemExit("--planner explicit requires --table_path")
+        from irbfn_tpu.planning.explicit import (grid_lookup,
+                                                 grid_table_from_arrays)
+
+        d = np.load(args.table_path)
+        table = grid_table_from_arrays(d["inputs"], d["outputs"],
+                                       d.get("valid"))
+        rl_ss, rl_ks, rl_vxs = rl.ss, rl.ks, rl.vxs
+
+        def policy(obs):
+            curv = interp_wrapped(rl_ss, rl_ks, obs.s, rl.length)
+            vx_goal = interp_wrapped(rl_ss, rl_vxs, obs.s, rl.length)
+            need_m = obs.ey < -0.05
+            sign = jnp.where(need_m, -1.0, 1.0)
+            q = jnp.stack([sign * obs.ey, obs.delta, obs.linear_vel_x,
+                           obs.linear_vel_y, vx_goal, obs.ang_vel_z,
+                           sign * obs.epsi, curv], axis=-1)
+            out, valid = grid_lookup(table, q)
+            T = out.shape[-1] // 2
+            act = jnp.stack([out[..., 0], sign * out[..., T]], axis=-1)
+            return jnp.where(valid[..., None], act, 0.0)
     elif args.planner == "nmpc":
         # nominal internal model: the sim's (mu, cs) vary, the planner's
         # don't — that mismatch IS the robustness experiment
@@ -88,8 +115,11 @@ def main():
     add_eval_args(p)
     p.add_argument("--config_f", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
-    p.add_argument("--planner", choices=["irbfn", "nmpc", "pursuit"],
+    p.add_argument("--planner",
+                   choices=["irbfn", "nmpc", "explicit", "pursuit"],
                    default="nmpc")
+    p.add_argument("--table_path", type=str, default=None,
+                   help="solver-table npz for --planner explicit")
     p.add_argument("--half_width", type=float, default=2.0,
                    help="corridor half width; leaving it fails the trial")
     p.add_argument("--max_retries", type=int, default=2,

@@ -36,7 +36,8 @@ def main():
     model, params, config = load_model(args.config_f, args.ckpt)
     data = np.load(args.npz_path)
     inputs, outputs = data["inputs"], data["outputs"]
-    outputs = outputs.reshape(outputs.shape[0], -1)
+    from irbfn_tpu.parallel.datagen import controls_block
+    outputs = controls_block(outputs)
     valid = ~np.any(outputs == -999.0, axis=1)
     inputs, outputs = inputs[valid], outputs[valid]
     if args.mirror:

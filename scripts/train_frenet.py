@@ -60,7 +60,8 @@ def main():
 
     data = np.load(args.npz_path)
     inputs, outputs = data["inputs"], data["outputs"]
-    outputs = outputs.reshape(outputs.shape[0], -1)
+    from irbfn_tpu.parallel.datagen import controls_block
+    outputs = controls_block(outputs)
     valid = ~np.any(outputs == -999.0, axis=1)
     inputs, outputs = inputs[valid], outputs[valid]
     print(f"{inputs.shape[0]:,} feasible rows")
@@ -84,12 +85,19 @@ def main():
                         args.npz_path[-4:])
         centers = cdata["centers"]
 
+    # anisotropic RBF metric: normalize each input dim by its data std so
+    # e.g. curvature (+-0.45) and velocity (1-8) contribute comparably to
+    # kernel distances (models/fit.py:data_scale)
+    from irbfn_tpu.models.fit import data_scale
+
+    input_scale = tuple(float(v) for v in data_scale(inputs))
+
     model_kwargs = dict(
         in_features=8, out_features=outputs.shape[1], num_kernels=args.num_k,
         basis_func=get_basis(args.basis_function), num_regions=num_regions,
         lower_bounds=lower_bounds, upper_bounds=upper_bounds,
         dimension_ranges=dimension_ranges, activation_idx=activation_idx,
-        delta=delta)
+        delta=delta, input_scale=input_scale)
     model_class = "WCRBFNet"
     if args.deeper:
         model = DeeperWCRBFNet(**model_kwargs)
@@ -120,6 +128,7 @@ def main():
         "batch_size": args.batch_size, "seed": args.seed,
         "mu": args.mu, "cs": args.cs,
         "fixed_centers": args.fixed_centers, "fixed_width": args.fixed_width,
+        "input_scale": list(input_scale),
     }
     os.makedirs("configs", exist_ok=True)
     save_config(f"configs/{args.run_name}.yaml", config)
@@ -143,16 +152,20 @@ def main():
 
         x = jnp.asarray(inputs, jnp.float32)
         yv = jnp.asarray(outputs, jnp.float32)
-        centers, log_sigs = choose_centers(x, num_kernels=args.num_k,
-                                           num_regions=num_regions,
-                                           seed=args.seed)
         lb, ub = build_region_bounds(lower_bounds, upper_bounds,
                                      dimension_ranges, activation_idx)
+        centers, log_sigs = choose_centers(x, num_kernels=args.num_k,
+                                           num_regions=num_regions,
+                                           seed=args.seed,
+                                           input_scale=input_scale,
+                                           lb=lb, ub=ub,
+                                           activation_idx=activation_idx)
         t0 = time.time()
         fit = fit_direct(x, yv, centers, log_sigs, jnp.asarray(lb),
                          jnp.asarray(ub), jnp.asarray(delta),
                          tuple(activation_idx),
-                         get_basis(args.basis_function))
+                         get_basis(args.basis_function),
+                         input_scale=input_scale)
         pred = fit.predict(x[:100000], jnp.asarray(lb), jnp.asarray(ub),
                            jnp.asarray(delta), tuple(activation_idx),
                            get_basis(args.basis_function))

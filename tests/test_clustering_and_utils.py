@@ -101,3 +101,41 @@ def test_throughput_helper():
     stats = throughput(f, x, items=1000, iters=3, sync="fetch")
     assert stats["items_per_s"] > 0
     assert stats["median_s"] > 0
+
+
+def test_controls_block_layout():
+    """(N, T, 2) table outputs flatten to BLOCK layout [a0..aT, sv0..svT] —
+    the net-output/rollout ABI (reference train_nmpc_frenet.py:66-67) — not
+    the interleaved order a plain reshape produces."""
+    import numpy as np
+
+    from irbfn_tpu.parallel.datagen import controls_block
+
+    T = 5
+    accel = np.arange(10, 10 + T, dtype=np.float32)
+    sv = np.arange(20, 20 + T, dtype=np.float32)
+    out3 = np.stack([accel, sv], axis=-1)[None]  # (1, T, 2) npz layout
+    flat = controls_block(out3)
+    np.testing.assert_array_equal(flat[0, :T], accel)
+    np.testing.assert_array_equal(flat[0, T:], sv)
+    # already-flat arrays pass through
+    np.testing.assert_array_equal(controls_block(flat), flat)
+
+
+def test_grid_table_block_layout():
+    """grid_table_from_arrays serves accel at [..., 0] and sv at [..., T]."""
+    import numpy as np
+
+    from irbfn_tpu.planning.explicit import (grid_lookup,
+                                             grid_table_from_arrays)
+
+    xs = np.linspace(0.0, 1.0, 3, dtype=np.float32)
+    inputs = xs[:, None]
+    T = 2
+    accel = np.tile(xs[:, None], (1, T)) + 100  # distinct per row
+    sv = np.tile(xs[:, None], (1, T)) + 200
+    outputs = np.stack([accel, sv], axis=-1)  # (3, T, 2)
+    table = grid_table_from_arrays(inputs, outputs)
+    out, valid = grid_lookup(table, np.asarray([[0.5]], np.float32))
+    assert abs(float(out[0, 0]) - 100.5) < 1e-6  # a0
+    assert abs(float(out[0, T]) - 200.5) < 1e-6  # sv0
