@@ -23,7 +23,7 @@ in chunks so arbitrarily large tables stream through HBM.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,18 +38,24 @@ class DirectFit(NamedTuple):
     centers: jnp.ndarray  # (R, K, F)
     log_sigs: jnp.ndarray  # (R, K)
     mode: str
+    input_scale: Optional[tuple] = None  # (F,) metric weights
 
     def predict(self, x, lb, ub, delta, activation_idx, basis_func):
         feats = rbf_features(x, self.centers, self.log_sigs, lb, ub, delta,
-                             activation_idx, basis_func, mode=self.mode)
+                             activation_idx, basis_func, mode=self.mode,
+                             input_scale=self.input_scale)
         return feats @ self.weights + self.bias
 
 
 def rbf_features(x, centers, log_sigs, lb, ub, delta, activation_idx,
-                 basis_func, mode: str = "shared"):
-    """Region-blended RBF feature map. x (B,F) -> (B, K) or (B, R*K)."""
+                 basis_func, mode: str = "shared", input_scale=None):
+    """Region-blended RBF feature map. x (B,F) -> (B, K) or (B, R*K).
+
+    The region indicator gates on RAW inputs (bounds are in raw units);
+    ``input_scale`` only reshapes the RBF distance metric (see
+    wcrbf.rbf_distances)."""
     gamma = region_activation(x, lb, ub, delta, activation_idx)  # (B, R)
-    d = rbf_distances(x, centers, log_sigs)  # (B, R, K)
+    d = rbf_distances(x, centers, log_sigs, input_scale=input_scale)
     phi = basis_func(d)
     if mode == "shared":
         return jnp.einsum("br,brk->bk", gamma, phi)
@@ -59,7 +65,7 @@ def rbf_features(x, centers, log_sigs, lb, ub, delta, activation_idx,
 
 def fit_direct(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
                basis_func, reg: float = 1e-5, mode: str = "shared",
-               chunk: int = 65536) -> DirectFit:
+               chunk: int = 65536, input_scale=None) -> DirectFit:
     """Solve min_W ||G(x) W + b - y||^2 + reg ||W||^2 in closed form.
 
     Normal equations are accumulated over ``chunk``-row blocks with a
@@ -73,11 +79,12 @@ def fit_direct(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     """
     with jax.default_matmul_precision("highest"):
         return _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta,
-                                activation_idx, basis_func, reg, mode, chunk)
+                                activation_idx, basis_func, reg, mode, chunk,
+                                input_scale)
 
 
 def _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
-                     basis_func, reg, mode, chunk):
+                     basis_func, reg, mode, chunk, input_scale=None):
     # NOTE: runs under default_matmul_precision("highest") — TPU f32 matmuls
     # otherwise go through the bf16 MXU pass, which destroys the gram
     # matrix's conditioning and NaNs the Cholesky.
@@ -91,7 +98,7 @@ def _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     feats_fn = partial(rbf_features, centers=centers, log_sigs=log_sigs,
                        lb=lb, ub=ub, delta=delta,
                        activation_idx=activation_idx, basis_func=basis_func,
-                       mode=mode)
+                       mode=mode, input_scale=input_scale)
     kf = (centers.shape[1] if mode == "shared"
           else centers.shape[0] * centers.shape[1])
 
@@ -123,23 +130,52 @@ def _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     reg_eff = reg * np.trace(gtg_h) / (kf + 1)
     A = gtg_h + reg_eff * np.eye(kf + 1)
     wb = jnp.asarray(np.linalg.solve(A, gty_h), dtype=x.dtype)
-    return DirectFit(wb[:-1], wb[-1], centers, log_sigs, mode)
+    scale_t = (None if input_scale is None
+               else tuple(float(v) for v in np.asarray(input_scale)))
+    return DirectFit(wb[:-1], wb[-1], centers, log_sigs, mode, scale_t)
+
+
+def data_scale(x, activation_idx=()) -> np.ndarray:
+    """Per-dim metric weights 1/std from the data (constant dims -> 1).
+    The standard anisotropic-RBF normalization: all input dims contribute
+    comparably to kernel distances regardless of their physical units."""
+    std = np.asarray(x).std(axis=0)
+    return np.where(std > 1e-9, 1.0 / np.maximum(std, 1e-9), 1.0)
 
 
 def choose_centers(x, num_kernels: int, num_regions: int, seed: int = 0,
-                   jitter: float = 1e-3):
-    """Pick per-region centers as a random subset of the data (the classical
-    RBF recipe) with widths from the mean nearest-center spacing."""
+                   jitter: float = 1e-3, input_scale=None, lb=None, ub=None,
+                   activation_idx=None, width_neighbors: int = 4,
+                   width_factor: float = 2.0):
+    """Pick per-region centers as a random subset of the rows BELONGING to
+    that region (hard box test on the activation dims; global sampling when
+    no bounds are given — a region's kernels are wasted if its centers land
+    where its indicator is ~0), with per-kernel widths from the distance to
+    the ``width_neighbors``-th nearest center of the same region, measured
+    in the ``input_scale`` metric (the classical nearest-neighbor width
+    recipe; a single region-wide median-pairwise width over-smooths)."""
     rng = np.random.default_rng(seed)
     x_np = np.asarray(x)
-    idx = rng.choice(x_np.shape[0], size=(num_regions, num_kernels),
-                     replace=x_np.shape[0] < num_regions * num_kernels)
-    centers = x_np[idx] + jitter * rng.standard_normal(
-        (num_regions, num_kernels, x_np.shape[1]))
-    # width: median pairwise center distance per region
+    F = x_np.shape[1]
+    s = np.ones(F) if input_scale is None else np.asarray(input_scale)
+    centers = np.empty((num_regions, num_kernels, F), x_np.dtype)
+    for r in range(num_regions):
+        pool = x_np
+        if lb is not None:
+            xa = x_np[:, list(activation_idx)]
+            m = np.all((xa >= np.asarray(lb)[r] - 1e-9)
+                       & (xa <= np.asarray(ub)[r] + 1e-9), axis=1)
+            if m.any():
+                pool = x_np[m]
+        idx = rng.choice(pool.shape[0], size=num_kernels,
+                         replace=pool.shape[0] < num_kernels)
+        centers[r] = (pool[idx]
+                      + jitter * rng.standard_normal((num_kernels, F)))
     log_sigs = np.zeros((num_regions, num_kernels))
     for r in range(num_regions):
-        d = np.linalg.norm(centers[r][:, None] - centers[r][None], axis=-1)
-        med = np.median(d[d > 0]) if (d > 0).any() else 1.0
-        log_sigs[r] = np.log(max(med, 1e-6))
+        cs = centers[r] * s
+        d = np.linalg.norm(cs[:, None] - cs[None], axis=-1)
+        d.sort(axis=1)
+        k = min(width_neighbors, d.shape[1] - 1)
+        log_sigs[r] = np.log(np.maximum(width_factor * d[:, k], 1e-6))
     return jnp.asarray(centers, x.dtype), jnp.asarray(log_sigs, x.dtype)

@@ -89,14 +89,24 @@ def region_activation(x, lb, ub, delta, activation_idx):
     return jnp.prod(lo * hi, axis=-1)
 
 
-def rbf_distances(x, centers, log_sigs):
+def rbf_distances(x, centers, log_sigs, input_scale=None):
     """Scaled distances ``||x - c_rk|| / exp(log_sig_rk)`` via matmul.
+
+    ``input_scale``: optional (F,) per-dimension metric weights — distances
+    become ``||s * (x - c)||`` (anisotropic). Without it, raw-unit Euclidean
+    distance lets the widest-ranged input dominate and dims with small
+    numeric range (e.g. path curvature, +-0.45, vs velocity, 1-8) become
+    invisible to isotropic kernels.
 
     Args:
         x: (B, F); centers: (R, K, F); log_sigs: (R, K)
     Returns:
         (B, R, K)
     """
+    if input_scale is not None:
+        s = jnp.asarray(input_scale, x.dtype)
+        x = x * s
+        centers = centers * s
     x_sq = jnp.sum(x * x, axis=-1)  # (B,)
     c_sq = jnp.sum(centers * centers, axis=-1)  # (R, K)
     cross = jnp.einsum("bf,rkf->brk", x, centers,
@@ -121,6 +131,7 @@ class RegionRBFCore(nn.Module):
     centers_init: Optional[np.ndarray] = None  # (K, F) or (R, K, F)
     trainable_centers: bool = True
     trainable_widths: bool = True
+    input_scale: Optional[Sequence[float]] = None  # (F,) metric weights
 
     def _center_initializer(self):
         if self.centers_init is None:
@@ -152,7 +163,8 @@ class RegionRBFCore(nn.Module):
             log_sigs = self.variable(
                 "constants", "log_sigs", lambda: jnp.zeros(shape_s)).value
 
-        d = rbf_distances(x, centers, log_sigs)  # (B, R, K)
+        d = rbf_distances(x, centers, log_sigs,
+                          input_scale=self.input_scale)  # (B, R, K)
         phi = self.basis_func(d)
         return jnp.einsum("br,brk->bk", region_weights, phi)
 
@@ -180,6 +192,8 @@ class WCRBFNet(nn.Module):
     centers: Optional[np.ndarray] = None
     fixed_centers: bool = False
     fixed_width: bool = False
+    input_scale: Optional[Sequence[float]] = None  # (F,) metric weights
+    # (tuple; see rbf_distances — centers stay in raw input units)
 
     def setup(self):
         lb, ub = build_region_bounds(self.lower_bounds, self.upper_bounds,
@@ -195,6 +209,7 @@ class WCRBFNet(nn.Module):
             centers_init=self.centers,
             trainable_centers=not self.fixed_centers,
             trainable_widths=not self.fixed_width,
+            input_scale=self.input_scale,
         )
         self.head = nn.Dense(self.out_features)
 
@@ -220,6 +235,7 @@ class DeeperWCRBFNet(nn.Module):
     activation_idx: Sequence[int]
     delta: Sequence[float]
     hidden: int = 64
+    input_scale: Optional[Sequence[float]] = None
 
     def setup(self):
         lb, ub = build_region_bounds(self.lower_bounds, self.upper_bounds,
@@ -229,7 +245,8 @@ class DeeperWCRBFNet(nn.Module):
         self._delta = jnp.asarray(np.asarray(self.delta, dtype=np.float64))
         self.core = RegionRBFCore(
             in_features=self.in_features, num_kernels=self.num_kernels,
-            num_regions=self.num_regions, basis_func=self.basis_func)
+            num_regions=self.num_regions, basis_func=self.basis_func,
+            input_scale=self.input_scale)
         self.pre1 = nn.Dense(self.hidden)
         self.pre2 = nn.Dense(self.hidden)
         self.head = nn.Dense(self.out_features)
@@ -258,6 +275,7 @@ class MLP(nn.Module):
     dimension_ranges: Sequence = ()
     activation_idx: Sequence = ()
     delta: Sequence = ()
+    input_scale: Optional[Sequence[float]] = None  # unused (sig compat)
 
     @nn.compact
     def __call__(self, x):

@@ -163,6 +163,17 @@ def wcrbf_params_to_pallas(variables, model):
         lb_full[:, d] = lb[:, j]
         ub_full[:, d] = ub[:, j]
         delta_full[d] = np.asarray(model.delta)[j]
+    centers = np.asarray(centers)
+    if getattr(model, "input_scale", None) is not None:
+        # anisotropic metric folded into the operands: the kernel runs on
+        # s*x with s*centers / s*bounds / delta/s — identical function to
+        # the flax path's rbf_distances(input_scale=...) (callers must feed
+        # pre-scaled x; _make_apply does)
+        s = np.asarray(model.input_scale, np.float64)
+        centers = centers * s
+        lb_full = lb_full * s
+        ub_full = ub_full * s
+        delta_full = delta_full / s
     return (jnp.asarray(centers), jnp.asarray(log_sigs),
             jnp.asarray(lb_full), jnp.asarray(ub_full),
             jnp.asarray(delta_full), jnp.asarray(head["kernel"]),

@@ -63,9 +63,13 @@ def _make_apply(model, params, use_pallas):
             f"use_pallas supports WCRBFNet, got {type(model).__name__}")
     ops = wcrbf_params_to_pallas(params, model)
     basis = model.basis_func
+    scale = (None if model.input_scale is None
+             else jnp.asarray(model.input_scale, jnp.float32))
 
     def apply_fn(net_params, xin):
         del net_params  # operands were extracted once at planner build
+        if scale is not None:  # operands are pre-scaled to match (see
+            xin = xin * scale  # wcrbf_params_to_pallas)
         return wcrbf_forward_pallas(xin, *ops, basis_fn=basis)
 
     return apply_fn
