@@ -7,6 +7,7 @@ from irbfn_tpu.planning.explicit import (
     GridTable,
     NNTable,
     grid_lookup,
+    grid_lookup_linear,
     grid_table_from_arrays,
     nn_lookup,
     nn_table_from_arrays,
@@ -22,7 +23,7 @@ from irbfn_tpu.planning.planner import (
 __all__ = [
     "EXP3", "exp3_init", "exp3_probs", "exp3_pull", "exp3_update",
     "AdaptiveExplicitPlanner", "ExplicitFrenetPlanner", "GridTable",
-    "NNTable", "grid_lookup", "grid_table_from_arrays", "nn_lookup",
+    "NNTable", "grid_lookup", "grid_lookup_linear", "grid_table_from_arrays", "nn_lookup",
     "nn_table_from_arrays", "AdaptiveIRBFNPlanner", "IRBFNFrenetPlanner",
     "IRBFNPlanner", "NMPCPlanner", "PlanResult",
 ]

@@ -77,6 +77,44 @@ def grid_lookup(table: GridTable, queries: jnp.ndarray):
                         table.valid, queries)
 
 
+@partial(jax.jit, static_argnames=("nums",))
+def _grid_lookup_linear(lows, steps, nums, outputs, valid, queries):
+    d = len(nums)
+    corners = np.stack(np.meshgrid(*([[0, 1]] * d), indexing="ij"),
+                       axis=-1).reshape(-1, d)  # (2^D, D) static
+    strides = np.concatenate([np.cumprod(np.asarray(nums[1:])[::-1])[::-1],
+                              [1]]).astype(np.int32)
+    u = (queries - lows) / steps
+    i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0,
+                  jnp.asarray(nums, jnp.int32) - 2)
+    frac = jnp.clip(u - i0, 0.0, 1.0)  # (B, D)
+    idx = i0[:, None, :] + jnp.asarray(corners, jnp.int32)  # (B, C, D)
+    flat = jnp.sum(idx * jnp.asarray(strides), axis=-1)  # (B, C)
+    cw = jnp.where(jnp.asarray(corners, bool), frac[:, None, :],
+                   1.0 - frac[:, None, :])
+    w = jnp.prod(cw, axis=-1) * valid[flat]  # (B, C) feasibility-masked
+    wsum = jnp.sum(w, axis=-1)
+    out = jnp.einsum("bc,bco->bo", w, outputs[flat])
+    safe = jnp.maximum(wsum, 1e-12)
+    return out / safe[:, None], wsum > 1e-6
+
+
+def grid_lookup_linear(table: GridTable, queries: jnp.ndarray):
+    """Feasibility-weighted multilinear interpolation over the 2^D cell
+    corners: (B, D) -> ((B, O), (B,) valid).
+
+    Nearest-cell lookup (the reference explicit planners' KDTree/searchsorted
+    semantics) quantizes every input to half a grid step — on a coarse
+    curvature axis that holds the controls at the straight-road cell until
+    the car is already mid-corner, then jumps a full cell (measured
+    bang-bang between opposite control bounds on consecutive steps).
+    Interpolating the surrounding corners gives controls continuous in the
+    state. Infeasible corners get zero weight (their -999 rows never leak);
+    ``valid`` is False only when ALL 2^D corners are infeasible."""
+    return _grid_lookup_linear(table.lows, table.steps, table.nums,
+                               table.outputs, table.valid, queries)
+
+
 class NNTable(NamedTuple):
     """Irregular table for brute-force nearest-neighbor lookup (the KDTree
     replacement). Queries use the matmul distance trick on the MXU."""
@@ -116,10 +154,14 @@ class ExplicitFrenetPlanner:
     """Plan by table lookup in the Frenet frame (reference
     ExplicitFrenetPlanner, explicit_planner.py:210-449)."""
 
-    def __init__(self, table, track, use_grid: bool = True):
+    def __init__(self, table, track, use_grid: bool = True,
+                 interpolate: bool = True):
+        """``interpolate``: multilinear over the surrounding cells (see
+        grid_lookup_linear) instead of nearest-cell; GridTable only."""
         self.table = table
         self.track = track
         self.use_grid = use_grid and isinstance(table, GridTable)
+        self.interpolate = interpolate
 
     def plan_batch(self, s, ey, epsi, delta, vx, vy, wz):
         from irbfn_tpu.sim.track import interp_wrapped
@@ -129,7 +171,8 @@ class ExplicitFrenetPlanner:
         vx_goal = interp_wrapped(rl.ss, rl.vxs, s, rl.length)
         q = jnp.stack([ey, delta, vx, vy, vx_goal, wz, epsi, curv], axis=-1)
         if self.use_grid:
-            out, valid = grid_lookup(self.table, q)
+            lookup = grid_lookup_linear if self.interpolate else grid_lookup
+            out, valid = lookup(self.table, q)
         else:
             out, _ = nn_lookup(self.table, q)
             valid = jnp.ones(out.shape[:-1], bool)

@@ -204,11 +204,22 @@ class IRBFNFrenetPlanner:
         @jax.jit
         def plan_fn(net_params, s, ey, epsi, delta, vx, vy, wz):
             curv = interp_wrapped(rl.ss, rl.ks, s, rl.length)
-            vx_goal = interp_wrapped(rl.ss, rl.vxs, s, rl.length)
+            # goal speed at the END of the horizon's travel, not at the
+            # current s — the reference reads ref_path[3][-1]
+            # (irbfn_planner.py:474), which is what gives corner-entry
+            # braking anticipation; the table's vx_goal axis has the same
+            # horizon-goal semantics
+            vx_goal = interp_wrapped(rl.ss, rl.vxs,
+                                     s + vx * (horizon * p.dt), rl.length)
             need_m = ey < thresh if mirror else jnp.zeros_like(ey, bool)
             sign = jnp.where(need_m, -1.0, 1.0)
-            net_in = jnp.stack([sign * ey, delta, vx, vy, vx_goal, wz,
-                                sign * epsi, curv], axis=-1)
+            # exact reflection: EVERY lateral quantity flips (ey, delta, vy,
+            # wz, epsi, curv; sv un-flipped on the way out) — the reference
+            # flips only ey/epsi (irbfn_planner.py:456-480), which queries a
+            # wrong-problem row whenever delta/vy/wz/curv are nonzero
+            net_in = jnp.stack([sign * ey, sign * delta, vx, sign * vy,
+                                vx_goal, sign * wz, sign * epsi,
+                                sign * curv], axis=-1)
             if input_bounds is not None:
                 net_in = jnp.clip(net_in, input_bounds[:, 0],
                                   input_bounds[:, 1])

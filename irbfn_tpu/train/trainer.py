@@ -58,11 +58,22 @@ def create_train_state(model, rng, sample_input, lr: float = 1e-3,
         constants=constants)
 
 
-def mirror_frenet_table(inputs: np.ndarray, outputs: np.ndarray):
-    """Mirror augmentation: flip (ey, epsi) inputs and steer-vel outputs
-    (train_nmpc_frenet.py:89-101). inputs (N, 8), outputs (N, 2T)."""
+def mirror_frenet_table(inputs: np.ndarray, outputs: np.ndarray,
+                        exact: bool = True):
+    """Mirror augmentation. inputs (N, 8), outputs (N, 2T).
+
+    ``exact=True`` (default) applies the dynamics' true reflection symmetry:
+    every lateral quantity flips — [ey, delta, vy, wz, epsi, curv] and the
+    steer-vel outputs (validated to 1e-5 against the solver,
+    tests/test_solvers.py::test_nmpc_full_mirror_symmetry). The reference
+    flips only (ey, epsi, sv) (train_nmpc_frenet.py:89-101) — an
+    approximation that injects wrong-problem rows whenever
+    delta/vy/wz/curv are nonzero (severe at high curvature);
+    ``exact=False`` reproduces it for strict reference parity."""
     T = outputs.shape[1] // 2
-    in_m = inputs * np.array([-1, 1, 1, 1, 1, 1, -1, 1])
+    flip = (np.array([-1, -1, 1, -1, 1, -1, -1, -1]) if exact
+            else np.array([-1, 1, 1, 1, 1, 1, -1, 1]))
+    in_m = inputs * flip
     out_m = np.concatenate([outputs[:, :T], -outputs[:, T:]], axis=1)
     return (np.concatenate([inputs, in_m], axis=0),
             np.concatenate([outputs, out_m], axis=0))

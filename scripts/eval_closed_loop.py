@@ -60,11 +60,14 @@ def make_policy(args, track):
     elif args.planner == "explicit":
         # explicit-MPC table lookup (reference ExplicitFrenetPlanner in the
         # loop): nearest-lattice-cell controls via grid-index arithmetic,
-        # mirror trick for ey below the table range, coast on infeasible
-        # cells (explicit_planner.py:390-392 guard)
+        # mirror trick for ey below the table range. Infeasible cells brake
+        # hard (the cell being infeasible means "this state can't track at
+        # this speed" — braking re-enters the feasible set; the reference's
+        # coast guard, explicit_planner.py:390-392, sails straight off at
+        # speed)
         if not args.table_path:
             raise SystemExit("--planner explicit requires --table_path")
-        from irbfn_tpu.planning.explicit import (grid_lookup,
+        from irbfn_tpu.planning.explicit import (grid_lookup_linear,
                                                  grid_table_from_arrays)
 
         d = np.load(args.table_path)
@@ -74,16 +77,25 @@ def make_policy(args, track):
 
         def policy(obs):
             curv = interp_wrapped(rl_ss, rl_ks, obs.s, rl.length)
-            vx_goal = interp_wrapped(rl_ss, rl_vxs, obs.s, rl.length)
+            # horizon-end goal speed (reference ref_path[3][-1] semantics):
+            # braking starts BEFORE the corner
+            vx_goal = interp_wrapped(rl_ss, rl_vxs,
+                                     obs.s + obs.linear_vel_x * 0.5,
+                                     rl.length)
             need_m = obs.ey < -0.05
             sign = jnp.where(need_m, -1.0, 1.0)
-            q = jnp.stack([sign * obs.ey, obs.delta, obs.linear_vel_x,
-                           obs.linear_vel_y, vx_goal, obs.ang_vel_z,
-                           sign * obs.epsi, curv], axis=-1)
-            out, valid = grid_lookup(table, q)
+            # exact reflection (every lateral quantity flips; see
+            # mirror_frenet_table docstring)
+            q = jnp.stack([sign * obs.ey, sign * obs.delta,
+                           obs.linear_vel_x, sign * obs.linear_vel_y,
+                           vx_goal, sign * obs.ang_vel_z,
+                           sign * obs.epsi, sign * curv], axis=-1)
+            out, valid = grid_lookup_linear(table, q)
             T = out.shape[-1] // 2
             act = jnp.stack([out[..., 0], sign * out[..., T]], axis=-1)
-            return jnp.where(valid[..., None], act, 0.0)
+            brake = jnp.stack([jnp.full_like(obs.ey, -9.51),
+                               jnp.zeros_like(obs.ey)], axis=-1)
+            return jnp.where(valid[..., None], act, brake)
     elif args.planner == "nmpc":
         # nominal internal model: the sim's (mu, cs) vary, the planner's
         # don't — that mismatch IS the robustness experiment
@@ -120,6 +132,9 @@ def main():
                    default="nmpc")
     p.add_argument("--table_path", type=str, default=None,
                    help="solver-table npz for --planner explicit")
+    p.add_argument("--speed_scale", type=float, default=1.0,
+                   help="scale the raceline speed profile (run a track "
+                        "below its racing speeds)")
     p.add_argument("--half_width", type=float, default=2.0,
                    help="corridor half width; leaving it fails the trial")
     p.add_argument("--max_retries", type=int, default=2,
@@ -145,6 +160,10 @@ def main():
         track, omap = load_track_bundle(args.map_dir)
     else:
         track = oval_track(n_samples=512, speed=3.0)
+    if args.speed_scale != 1.0:
+        rl0 = track.raceline
+        track = track._replace(raceline=rl0._replace(
+            vxs=rl0.vxs * args.speed_scale))
 
     # batched vehicle params: each episode gets its own (mu, cs)
     mu_b = jnp.asarray(np.repeat(combos[:, 0], args.num_trials), jnp.float32)

@@ -124,14 +124,24 @@ def test_frenet_planner_batch_shapes(frenet_planner):
 
 
 def test_frenet_planner_mirror_consistency(frenet_planner):
-    """Mirrored state gives mirrored steering (the half-table trick)."""
-    common = dict(delta=jnp.zeros(2), vx=jnp.full(2, 3.0), vy=jnp.zeros(2),
-                  wz=jnp.zeros(2))
+    """Mirrored state gives mirrored steering (the half-table trick).
+
+    The planner applies the dynamics' EXACT reflection — every lateral
+    quantity flips, including the track curvature — so the symmetry holds
+    only where the two poses see opposite-sign curvature. Probe at a
+    zero-curvature point of the oval (straight) where +-curv coincide."""
+    rl = frenet_planner.track.raceline
+    ks = np.asarray(rl.ks)
+    s_straight = float(np.asarray(rl.ss)[np.argmin(np.abs(ks))])
+    common = dict(delta=jnp.asarray([0.05, -0.05]), vx=jnp.full(2, 3.0),
+                  vy=jnp.asarray([0.1, -0.1]), wz=jnp.asarray([0.2, -0.2]))
     res = frenet_planner.plan_batch(
-        s=jnp.asarray([10.0, 10.0]), ey=jnp.asarray([0.4, -0.4]),
+        s=jnp.full(2, s_straight), ey=jnp.asarray([0.4, -0.4]),
         epsi=jnp.asarray([0.1, -0.1]), **common)
-    np.testing.assert_allclose(res.accel[0], res.accel[1], rtol=1e-5)
-    np.testing.assert_allclose(res.steer_vel[0], -res.steer_vel[1], rtol=1e-5)
+    np.testing.assert_allclose(res.accel[0], res.accel[1], rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(res.steer_vel[0], -res.steer_vel[1],
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_frenet_planner_obs_api(frenet_planner):
@@ -221,3 +231,42 @@ def test_frenet_planner_input_clamp():
     a_edge = clamped.plan_batch(vx=hi, **args)
     np.testing.assert_allclose(np.asarray(a_out.accel),
                                np.asarray(a_edge.accel), rtol=1e-6)
+
+
+def test_grid_lookup_linear_interpolates():
+    """Multilinear lookup: exact for a function linear in the inputs,
+    matches nearest-cell at grid points, and infeasible corners don't leak
+    (-999 never appears; all-infeasible neighborhoods flag invalid)."""
+    from irbfn_tpu.planning.explicit import (grid_lookup, grid_lookup_linear,
+                                             grid_table_from_arrays)
+
+    xs = np.linspace(0.0, 1.0, 5)
+    ys = np.linspace(-2.0, 2.0, 4)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    inputs = np.stack([gx.reshape(-1), gy.reshape(-1)], -1).astype(np.float32)
+    out = (3.0 * inputs[:, :1] - 0.5 * inputs[:, 1:] + 1.0).astype(np.float32)
+    table = grid_table_from_arrays(inputs, out)
+
+    q = np.asarray([[0.3, 0.7], [0.99, -1.99], [0.5, 0.0]], np.float32)
+    got, valid = grid_lookup_linear(table, jnp.asarray(q))
+    want = 3.0 * q[:, :1] - 0.5 * q[:, 1:] + 1.0
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    assert bool(jnp.all(valid))
+    # at grid points: equals nearest-cell
+    gpt = inputs[7:9]
+    a, _ = grid_lookup_linear(table, jnp.asarray(gpt))
+    b, _ = grid_lookup(table, jnp.asarray(gpt))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    # poison one cell: its weight is excluded, output stays finite & sane
+    out_bad = out.copy()
+    out_bad[6] = -999.0
+    table2 = grid_table_from_arrays(inputs, out_bad)
+    got2, valid2 = grid_lookup_linear(table2, jnp.asarray(q))
+    assert np.all(np.asarray(got2) > -100)
+    assert bool(jnp.all(valid2))
+    # all corners infeasible -> invalid flag
+    out_all = out.copy()
+    out_all[:] = -999.0
+    table3 = grid_table_from_arrays(inputs, out_all)
+    _, valid3 = grid_lookup_linear(table3, jnp.asarray(q))
+    assert not bool(jnp.any(valid3))

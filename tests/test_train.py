@@ -44,13 +44,21 @@ def _batch(n=16, t=5, seed=0):
 
 def test_mirror_frenet_table():
     x, y = _batch(4)
-    xm, ym = mirror_frenet_table(np.asarray(x), np.asarray(y))
+    xn, yn = np.asarray(x), np.asarray(y)
+    # exact reflection (default): every lateral quantity flips — the
+    # dynamics symmetry validated by test_nmpc_full_mirror_symmetry
+    xm, ym = mirror_frenet_table(xn, yn)
     assert xm.shape[0] == 8 and ym.shape[0] == 8
-    np.testing.assert_allclose(xm[4:, 0], -np.asarray(x)[:, 0])  # ey flipped
-    np.testing.assert_allclose(xm[4:, 6], -np.asarray(x)[:, 6])  # epsi flipped
-    np.testing.assert_allclose(xm[4:, 1], np.asarray(x)[:, 1])  # delta kept
-    np.testing.assert_allclose(ym[4:, :5], np.asarray(y)[:, :5])  # accel kept
-    np.testing.assert_allclose(ym[4:, 5:], -np.asarray(y)[:, 5:])  # sv flipped
+    np.testing.assert_allclose(
+        xm[4:], xn * np.array([-1, -1, 1, -1, 1, -1, -1, -1]))
+    np.testing.assert_allclose(ym[4:, :5], yn[:, :5])  # accel kept
+    np.testing.assert_allclose(ym[4:, 5:], -yn[:, 5:])  # sv flipped
+    # reference-parity mode: only ey/epsi flip (train_nmpc_frenet.py:89-101)
+    xr, yr = mirror_frenet_table(xn, yn, exact=False)
+    np.testing.assert_allclose(xr[4:, 0], -xn[:, 0])
+    np.testing.assert_allclose(xr[4:, 6], -xn[:, 6])
+    np.testing.assert_allclose(xr[4:, 1], xn[:, 1])  # delta kept (ref quirk)
+    np.testing.assert_allclose(yr[4:, 5:], -yn[:, 5:])
 
 
 def test_fullint_train_step_decreases_loss():
