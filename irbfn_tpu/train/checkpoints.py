@@ -54,8 +54,13 @@ def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 100):
     ckpt_dir = os.path.abspath(ckpt_dir)
     mngr = ocp.CheckpointManager(
         ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep))
-    payload = {"params": state.params, "opt_state": state.opt_state,
-               "step": state.step}
+    # materialize to host numpy so the checkpoint carries NO device-sharding
+    # metadata: a ckpt written on TPU must restore on CPU and vice versa
+    # (orbax records jax.Array shardings and refuses foreign devices)
+    payload = jax.tree.map(
+        lambda a: np.asarray(a) if hasattr(a, "dtype") else a,
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step})
     mngr.save(step, args=ocp.args.StandardSave(payload))
     mngr.wait_until_finished()
     mngr.close()
@@ -72,7 +77,15 @@ def restore_params(ckpt_dir: str, step: Optional[int] = None, template=None):
     ckpt_dir = os.path.abspath(ckpt_dir)
     mngr = ocp.CheckpointManager(ckpt_dir)
     step = mngr.latest_step() if step is None else step
-    restored = mngr.restore(step)
+    try:
+        restored = mngr.restore(step)
+    except ValueError:
+        # older ckpt with foreign-device sharding metadata (saved as
+        # jax.Arrays on another platform): restore into a host-numpy
+        # template built from the stored shapes/dtypes
+        meta = mngr.item_metadata(step)
+        tmpl = jax.tree.map(lambda m: np.zeros(m.shape, m.dtype), meta.tree)
+        restored = mngr.restore(step, args=ocp.args.StandardRestore(tmpl))
     mngr.close()
     params = restored["params"]
     if template is not None:
