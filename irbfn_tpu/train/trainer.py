@@ -175,11 +175,17 @@ def make_train_step(loss_fn: Callable, dyn_params, donate: bool = True):
 
 def train_epochs(state: TrainState, step_fn, inputs, outputs, batch_size: int,
                  epochs: int, rng, extra=None, log_fn=None,
-                 checkpoint_fn=None, checkpoint_every: int = 100, mesh=None):
+                 checkpoint_fn=None, checkpoint_every: int = 100, mesh=None,
+                 log_every: int = 25):
     """Permutation mini-batch epochs (train_nmpc_frenet.py:487-558).
 
     With ``mesh``, batches are placed with batch-axis sharding so the jitted
     step runs data-parallel (gradient psum inserted by XLA).
+
+    Async-dispatch friendly: the permutation is drawn host-side (a device
+    permutation would round-trip per batch) and ``log_fn`` fires every
+    ``log_every`` steps — converting metrics to floats forces a device sync,
+    which through a remote-TPU link costs more than the step itself.
     """
     if mesh is not None:
         from irbfn_tpu.parallel.mesh import data_sharding
@@ -190,18 +196,20 @@ def train_epochs(state: TrainState, step_fn, inputs, outputs, batch_size: int,
         place = jnp.asarray
     n = inputs.shape[0]
     steps = max(1, n // batch_size)
+    np_rng = np.random.default_rng(
+        np.asarray(jax.random.key_data(rng))[-1].item())
     for e in range(epochs):
-        rng, perm_rng = jax.random.split(rng)
-        perms = jax.random.permutation(perm_rng, n)[: steps * batch_size]
+        perms = np_rng.permutation(n)[: steps * batch_size]
         perms = perms.reshape(steps, batch_size)
         losses = []
         for b, perm in enumerate(perms):
-            bx = place(inputs[np.asarray(perm)])
-            by = place(outputs[np.asarray(perm)])
-            args = (bx, by) if extra is None else (bx, by, place(extra[np.asarray(perm)]))
+            bx = place(inputs[perm])
+            by = place(outputs[perm])
+            args = (bx, by) if extra is None else (bx, by, place(extra[perm]))
             state, metrics = step_fn(state, *args)
             losses.append(metrics.loss)
-            if log_fn is not None:
+            if log_fn is not None and (b % log_every == 0
+                                       or b == steps - 1):
                 log_fn(e * steps + b, metrics)
         if checkpoint_fn is not None and e % checkpoint_every == 0:
             checkpoint_fn(state, e)

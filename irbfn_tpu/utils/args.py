@@ -72,6 +72,9 @@ def add_train_args(p: argparse.ArgumentParser):
     g.add_argument("--run_name", type=str, default="dnmpc_tpu")
     g.add_argument("--direct_fit", action="store_true",
                    help="closed-form Cholesky fit instead of Adam")
+    g.add_argument("--finetune_epochs", type=int, default=0,
+                   help="with --direct_fit: SGD epochs of the integration "
+                        "loss from the closed-form warm start")
     # region splits per dim (num_<dim> regions)
     for name in ("ey", "delta", "vx_car", "vy_car", "vx_goal", "wz",
                  "epsi", "curv"):

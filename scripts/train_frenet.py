@@ -36,20 +36,34 @@ from irbfn_tpu.utils.profiling import MetricLogger
 DIMS = ["ey", "delta", "vx_car", "vy_car", "vx_goal", "wz", "epsi", "curv"]
 
 
-def region_spec_from_table(inputs: np.ndarray, splits: list):
+def region_spec_from_table(inputs: np.ndarray, splits: list,
+                           num_overlap: int = 1):
     """Region bounds from the unique grid values per dim, split into
-    ``splits[d]`` contiguous segments (train_nmpc_frenet.py:114-199)."""
-    lower_bounds, upper_bounds = [], []
+    ``splits[d]`` contiguous segments (train_nmpc_frenet.py:114-199), with
+    neighbouring segments overlapping by ``num_overlap`` grid values (the
+    IROS pipeline's stride-tricks overlap, deprecated/train.py:76-113) —
+    hard seams make independently-fitted region banks disagree across the
+    boundary, which shows up as control oscillation exactly at the seam in
+    closed loop.
+
+    Also returns per-dim gate sharpness ``delta`` sized to the grid: the
+    tanh transition width is ~half a grid step (4/step), so neighbouring
+    regions blend over one cell instead of snapping."""
+    lower_bounds, upper_bounds, deltas = [], [], []
+    from irbfn_tpu.models.wcrbf import overlapping_segments
+
     for d, n_seg in enumerate(splits):
         vals = np.sort(np.unique(inputs[:, d]))
-        idx = np.linspace(0, len(vals) - 1, n_seg + 1, dtype=int)
-        lower_bounds.append([float(v) for v in vals[idx[:-1]]])
-        upper_bounds.append([float(v) for v in vals[idx[1:]]])
+        lo, hi = overlapping_segments(vals, n_seg, num_overlap=num_overlap)
+        lower_bounds.append(lo)
+        upper_bounds.append(hi)
+        step = (np.median(np.diff(vals)) if len(vals) > 1 else 1.0)
+        deltas.append(float(np.clip(4.0 / max(step, 1e-9), 1.0, 100.0)))
     import itertools
 
     dimension_ranges = [list(t) for t in itertools.product(
         *[range(s) for s in splits])]
-    return lower_bounds, upper_bounds, dimension_ranges
+    return lower_bounds, upper_bounds, dimension_ranges, deltas
 
 
 def main():
@@ -73,10 +87,9 @@ def main():
         outputs = outputs[:, [0, T]]
 
     splits = [getattr(args, f"num_{d}") for d in DIMS]
-    lower_bounds, upper_bounds, dimension_ranges = region_spec_from_table(
-        inputs, splits)
+    lower_bounds, upper_bounds, dimension_ranges, delta = (
+        region_spec_from_table(inputs, splits))
     num_regions = int(np.prod(splits))
-    delta = [15.0, 10.0, 100.0, 100.0, 100.0, 10.0, 10.0, 10.0]
     activation_idx = list(range(8))
 
     centers = None
@@ -178,7 +191,16 @@ def main():
         state = state.replace(params={"params": params})
         save_checkpoint(ckpt_dir, state, step=0)
         print(f"checkpoint at {ckpt_dir}")
-        return
+        if args.finetune_epochs <= 0:
+            return
+        # SGD fine-tune from the closed-form warm start with the
+        # integration loss (the reference's 100x-weighted rollout-mismatch
+        # term, train_nmpc_frenet.py:394-421): the pure control-matching fit
+        # minimizes pointwise error but not the dynamic consistency of the
+        # control SEQUENCE the planner executes
+        args.train_epochs = args.finetune_epochs
+        print(f"fine-tuning {args.finetune_epochs} epochs "
+              "with the integration loss")
 
     dyn_params = f1tenth_params(mu=args.mu, cs=args.cs).to_vector()
 
@@ -206,7 +228,9 @@ def main():
                     "cluster_loss_batch": metrics.cluster_loss}, step=step)
 
     def ckpt_fn(state, epoch):
-        save_checkpoint(ckpt_dir, state, step=epoch)
+        # epoch e saves as step e+1: step 0 is the --direct_fit warm start
+        # (orbax silently skips an existing step number)
+        save_checkpoint(ckpt_dir, state, step=epoch + 1)
 
     state, final_loss = train_epochs(
         state, step_fn, inputs.astype(np.float32),
