@@ -85,10 +85,17 @@ def _grid_lookup_linear(lows, steps, nums, outputs, valid, queries):
     strides = np.concatenate([np.cumprod(np.asarray(nums[1:])[::-1])[::-1],
                               [1]]).astype(np.int32)
     u = (queries - lows) / steps
+    # singleton-axis guard: for a dim with one grid value, nums-2 is -1 and
+    # the clip used to park the base index at -1, whose negative stride
+    # aliased an unrelated table row into the blend; clamp the base cell to
+    # 0 and zero that dim's fractional weight instead
+    nums_np = np.asarray(nums, np.int32)
     i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0,
-                  jnp.asarray(nums, jnp.int32) - 2)
+                  jnp.asarray(np.maximum(nums_np - 2, 0)))
     frac = jnp.clip(u - i0, 0.0, 1.0)  # (B, D)
-    idx = i0[:, None, :] + jnp.asarray(corners, jnp.int32)  # (B, C, D)
+    frac = jnp.where(jnp.asarray(nums_np == 1), 0.0, frac)
+    idx = jnp.minimum(i0[:, None, :] + jnp.asarray(corners, jnp.int32),
+                      jnp.asarray(nums_np - 1))  # (B, C, D)
     flat = jnp.sum(idx * jnp.asarray(strides), axis=-1)  # (B, C)
     cw = jnp.where(jnp.asarray(corners, bool), frac[:, None, :],
                    1.0 - frac[:, None, :])
@@ -155,20 +162,23 @@ class ExplicitFrenetPlanner:
     ExplicitFrenetPlanner, explicit_planner.py:210-449)."""
 
     def __init__(self, table, track, use_grid: bool = True,
-                 interpolate: bool = True):
+                 interpolate: bool = True, horizon_time: float = 0.5):
         """``interpolate``: multilinear over the surrounding cells (see
-        grid_lookup_linear) instead of nearest-cell; GridTable only."""
+        grid_lookup_linear) instead of nearest-cell; GridTable only.
+        ``horizon_time``: the table generator's horizon * dt, for
+        horizon-end goal-speed sampling (sim.track.horizon_goal_speed)."""
         self.table = table
         self.track = track
         self.use_grid = use_grid and isinstance(table, GridTable)
         self.interpolate = interpolate
+        self.horizon_time = horizon_time
 
     def plan_batch(self, s, ey, epsi, delta, vx, vy, wz):
-        from irbfn_tpu.sim.track import interp_wrapped
+        from irbfn_tpu.sim.track import horizon_goal_speed, interp_wrapped
 
         rl = self.track.raceline
         curv = interp_wrapped(rl.ss, rl.ks, s, rl.length)
-        vx_goal = interp_wrapped(rl.ss, rl.vxs, s, rl.length)
+        vx_goal = horizon_goal_speed(rl, s, vx, self.horizon_time)
         q = jnp.stack([ey, delta, vx, vy, vx_goal, wz, epsi, curv], axis=-1)
         if self.use_grid:
             lookup = grid_lookup_linear if self.interpolate else grid_lookup

@@ -25,7 +25,7 @@ import numpy as np
 from irbfn_tpu.dynamics.params import VehicleParams, f1tenth_params
 from irbfn_tpu.dynamics.single_track import rollout as st_rollout
 from irbfn_tpu.planning.bandits import EXP3
-from irbfn_tpu.sim.track import Track, interp_wrapped
+from irbfn_tpu.sim.track import Track, horizon_goal_speed, interp_wrapped
 from irbfn_tpu.solvers.clothoid import wrap_angle
 from irbfn_tpu.solvers.nmpc import NMPCConfig, solve_nmpc_batch
 
@@ -36,6 +36,24 @@ class PlanResult(NamedTuple):
     pred_controls: jnp.ndarray  # (..., T, 2) full predicted sequence
     pred_states: jnp.ndarray  # (..., T, 7) rollout for visualization
     goal: jnp.ndarray  # (..., >=3) goal state used
+
+
+def _pallas_vmem_bytes(model, tile_b: int = 128) -> int:
+    """Estimate the fused RBF kernel's resident VMEM for a WCRBFNet: all
+    operands are loaded whole per batch tile (ops/pallas_rbf.py in_specs),
+    dominated by the (R, Kp, Fp) centers block. A bank past the ~16 MB
+    scoped-VMEM budget fails at compile time with a Mosaic error, so 'auto'
+    mode must not select Pallas for it."""
+    rnd = lambda v, m: ((v + m - 1) // m) * m  # noqa: E731
+    R, K, F = model.num_regions, model.num_kernels, model.in_features
+    Kp, Fp, Op = rnd(K, 128), rnd(F, 128), rnd(model.out_features, 128)
+    Rp = rnd(R, 8)
+    head = (R * Kp * Op + Rp * Op
+            if getattr(model, "head_mode", "shared") == "per_region"
+            else Kp * Op + Op)
+    operands = R * Kp * Fp + R * Kp + head
+    per_tile = tile_b * (Fp + Rp + Op + 2 * Kp)  # x, gamma, out, feat/phi
+    return 4 * (operands + per_tile)
 
 
 def _make_apply(model, params, use_pallas):
@@ -52,7 +70,8 @@ def _make_apply(model, params, use_pallas):
 
     if use_pallas == "auto":
         use_pallas = (isinstance(model, WCRBFNet)
-                      and jax.default_backend() == "tpu")
+                      and jax.default_backend() == "tpu"
+                      and _pallas_vmem_bytes(model) <= 12 * 2**20)
     if not use_pallas:
         return model.apply
     from irbfn_tpu.ops.pallas_rbf import (wcrbf_forward_pallas,
@@ -204,13 +223,7 @@ class IRBFNFrenetPlanner:
         @jax.jit
         def plan_fn(net_params, s, ey, epsi, delta, vx, vy, wz):
             curv = interp_wrapped(rl.ss, rl.ks, s, rl.length)
-            # goal speed at the END of the horizon's travel, not at the
-            # current s — the reference reads ref_path[3][-1]
-            # (irbfn_planner.py:474), which is what gives corner-entry
-            # braking anticipation; the table's vx_goal axis has the same
-            # horizon-goal semantics
-            vx_goal = interp_wrapped(rl.ss, rl.vxs,
-                                     s + vx * (horizon * p.dt), rl.length)
+            vx_goal = horizon_goal_speed(rl, s, vx, horizon * p.dt)
             need_m = ey < thresh if mirror else jnp.zeros_like(ey, bool)
             sign = jnp.where(need_m, -1.0, 1.0)
             # exact reflection: EVERY lateral quantity flips (ey, delta, vy,
@@ -283,7 +296,8 @@ class NMPCPlanner:
     def plan_batch(self, s, ey, epsi, delta, vx, vy, wz):
         rl = self.track.raceline
         curv = interp_wrapped(rl.ss, rl.ks, s, rl.length)
-        vx_goal = interp_wrapped(rl.ss, rl.vxs, s, rl.length)
+        vx_goal = horizon_goal_speed(
+            rl, s, vx, float(self.cfg.horizon * self.cfg.dt))
         zeros = jnp.zeros_like(ey)
         x0 = jnp.stack([zeros, ey, delta, vx, vy, wz, epsi], axis=-1)
         goal = jnp.stack([zeros] * 3 + [vx_goal] + [zeros] * 3, axis=-1)

@@ -74,8 +74,14 @@ def pid_lowlevel(speed, steer, current_speed, current_steer,
     Steering is bang-bang at sv_max outside a 1e-4 deadband; acceleration is
     proportional with gain 10*a_max/v_max forward (2* in reverse), with the
     braking gain normalized by |v_min| (reference :438-459).
+
+    ``v_min`` defaults to the reference gym's -5.0 (its cars' reverse-speed
+    limit is asymmetric: v_max 7.0 forward, 5.0 reverse — params dict in
+    f110_env.py); VehicleParams carries no v_min field (the 13-float
+    reference ABI has none), so callers with other vehicles pass it
+    explicitly.
     """
-    v_min = -p.v_max if v_min is None else v_min
+    v_min = -5.0 if v_min is None else v_min
     steer_diff = steer - current_steer
     sv = jnp.where(jnp.abs(steer_diff) > 1e-4,
                    jnp.sign(steer_diff) * p.sv_max, 0.0)

@@ -198,6 +198,17 @@ def frenet_to_cartesian(rl: Raceline, s, ey, epsi):
 
 
 @jax.jit
+def horizon_goal_speed(rl, s, vx, horizon_time: float = 0.5):
+    """Raceline goal speed sampled at the END of the horizon's travel,
+    ``s + vx * horizon_time`` — the reference's ``ref_path[3][-1]`` semantics
+    (irbfn_planner.py:474), matching the table's vx_goal axis. Sampling at
+    the current s instead loses corner-entry braking anticipation (the car
+    only starts slowing once already AT the corner). One helper shared by
+    every frenet planner so sweep comparisons aren't confounded by
+    goal-speed semantics. ``horizon_time`` = horizon * control dt."""
+    return interp_wrapped(rl.ss, rl.vxs, s + vx * horizon_time, rl.length)
+
+
 def interp_wrapped(ss, vals, s, length):
     s = jnp.mod(jnp.asarray(s), length)
     idx = jnp.clip(jnp.searchsorted(ss, s, side="right") - 1, 0, ss.shape[0] - 1)

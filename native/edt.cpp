@@ -20,36 +20,42 @@ namespace {
 constexpr float kInf = std::numeric_limits<float>::max() / 4.0f;
 
 // 1D squared-distance transform of sampled function f (length n) into d.
-// v/z are scratch of length n and n+1.
-void dt1d(const float* f, float* d, int* v, float* z, int64_t n) {
+// v/z are scratch of length n and n+1. Parabola-intersection arithmetic is
+// done in double: for dimensions of a few thousand cells q*q ~ 1e7 where
+// f32 ulp ~ 1, so f32 intersection ordering can differ from the exact
+// envelope (inputs/outputs stay f32 — the final distances are small).
+void dt1d(const float* f, float* d, int* v, double* z, int64_t n) {
+  constexpr double kInfD = std::numeric_limits<double>::infinity();
   int k = 0;
   v[0] = 0;
-  z[0] = -kInf;
-  z[1] = kInf;
+  z[0] = -kInfD;
+  z[1] = kInfD;
   for (int64_t q = 1; q < n; ++q) {
-    float s;
+    double s;
+    const double fq = static_cast<double>(f[q]) + static_cast<double>(q) * q;
     for (;;) {
       int p = v[k];
-      s = ((f[q] + q * q) - (f[p] + static_cast<float>(p) * p)) /
-          (2.0f * (q - p));
+      s = (fq - (static_cast<double>(f[p]) + static_cast<double>(p) * p)) /
+          (2.0 * (q - p));
       if (s > z[k]) break;
       --k;
     }
     ++k;
     v[k] = static_cast<int>(q);
     z[k] = s;
-    z[k + 1] = kInf;
+    z[k + 1] = kInfD;
   }
   k = 0;
   for (int64_t q = 0; q < n; ++q) {
     while (z[k + 1] < q) ++k;
-    float dq = static_cast<float>(q) - v[k];
-    d[q] = dq * dq + f[v[k]];
+    double dq = static_cast<double>(q) - v[k];
+    d[q] = static_cast<float>(dq * dq + f[v[k]]);
   }
 }
 
 void columns_pass(float* g, int64_t h, int64_t w, int64_t c0, int64_t c1) {
-  std::vector<float> f(h), d(h), z(h + 1);
+  std::vector<float> f(h), d(h);
+  std::vector<double> z(h + 1);
   std::vector<int> v(h);
   for (int64_t c = c0; c < c1; ++c) {
     for (int64_t r = 0; r < h; ++r) f[r] = g[r * w + c];
@@ -60,7 +66,8 @@ void columns_pass(float* g, int64_t h, int64_t w, int64_t c0, int64_t c1) {
 
 void rows_pass(float* g, float* out, int64_t h, int64_t w, float res,
                int64_t r0, int64_t r1) {
-  std::vector<float> d(w), z(w + 1);
+  std::vector<float> d(w);
+  std::vector<double> z(w + 1);
   std::vector<int> v(w);
   for (int64_t r = r0; r < r1; ++r) {
     dt1d(g + r * w, d.data(), v.data(), z.data(), w);

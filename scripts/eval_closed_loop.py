@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from irbfn_tpu.dynamics.params import (VehicleParams, f1tenth_params,
                                        fullscale_params)
 from irbfn_tpu.sim import TrackEnv, deviation_metrics, oval_track
-from irbfn_tpu.sim.track import interp_wrapped
+from irbfn_tpu.sim.track import horizon_goal_speed, interp_wrapped
 from irbfn_tpu.solvers import NMPCConfig, solve_nmpc_batch
 from irbfn_tpu.train import load_model
 from irbfn_tpu.utils.args import add_eval_args
@@ -73,15 +73,15 @@ def make_policy(args, track):
         d = np.load(args.table_path)
         table = grid_table_from_arrays(d["inputs"], d["outputs"],
                                        d.get("valid"))
-        rl_ss, rl_ks, rl_vxs = rl.ss, rl.ks, rl.vxs
+        rl_ss, rl_ks = rl.ss, rl.ks
+
+        ht = args.horizon * args.ctrl_dt  # table generator's horizon x dt
 
         def policy(obs):
             curv = interp_wrapped(rl_ss, rl_ks, obs.s, rl.length)
             # horizon-end goal speed (reference ref_path[3][-1] semantics):
             # braking starts BEFORE the corner
-            vx_goal = interp_wrapped(rl_ss, rl_vxs,
-                                     obs.s + obs.linear_vel_x * 0.5,
-                                     rl.length)
+            vx_goal = horizon_goal_speed(rl, obs.s, obs.linear_vel_x, ht)
             need_m = obs.ey < -0.05
             sign = jnp.where(need_m, -1.0, 1.0)
             # exact reflection (every lateral quantity flips; see
@@ -101,6 +101,7 @@ def make_policy(args, track):
         # don't — that mismatch IS the robustness experiment
         solver_params = fullscale_params(dtype=jnp.float32)
         cfg = NMPCConfig(gn_iters=args.gn_iters, al_outer=args.al_outer)
+        ht = cfg.horizon * cfg.dt
 
         def policy(obs):
             zeros = jnp.zeros_like(obs.ey)
@@ -108,7 +109,9 @@ def make_policy(args, track):
                             obs.linear_vel_y, obs.ang_vel_z, obs.epsi],
                            axis=-1)
             curv = interp_wrapped(rl.ss, rl.ks, obs.s, rl.length)
-            vx_goal = interp_wrapped(rl.ss, rl.vxs, obs.s, rl.length)
+            # horizon-end goal speed, unified with the explicit/irbfn
+            # branches (one semantics across the sweep comparison)
+            vx_goal = horizon_goal_speed(rl, obs.s, obs.linear_vel_x, ht)
             goal = jnp.stack([zeros] * 3 + [vx_goal] + [zeros] * 3, axis=-1)
             sol = solve_nmpc_batch(x0, goal, curv, solver_params, cfg)
             return jnp.stack([sol.accel[..., 0], sol.steer_vel[..., 0]],
@@ -132,6 +135,11 @@ def main():
                    default="nmpc")
     p.add_argument("--table_path", type=str, default=None,
                    help="solver-table npz for --planner explicit")
+    p.add_argument("--horizon", type=int, default=5,
+                   help="table generator's control horizon (goal-speed "
+                        "lookahead = horizon * ctrl_dt)")
+    p.add_argument("--ctrl_dt", type=float, default=0.1,
+                   help="table generator's control dt")
     p.add_argument("--speed_scale", type=float, default=1.0,
                    help="scale the raceline speed profile (run a track "
                         "below its racing speeds)")
@@ -144,6 +152,10 @@ def main():
     p.add_argument("--map_dir", type=str, default=None,
                    help="reference-format track dir; collision then checks "
                         "the real occupancy map instead of a corridor")
+    p.add_argument("--save_tube", type=str, default=None,
+                   help="save the visited 8-dim net-input states (the "
+                        "closed-loop operating tube) to this npz — feeds "
+                        "train_frenet.py --tube_npz")
     args = p.parse_args()
 
     mus = np.linspace(args.mu_min, args.mu_max, args.num_mu)
@@ -189,12 +201,24 @@ def main():
     epsi_res = np.full(B, np.nan)
     laps_res = np.zeros(B)
     success = np.zeros(B, bool)
+    tube_chunks = []
+    rl = track.raceline
     for attempt in range(args.max_retries + 1):
         key, sub = jax.random.split(key)
         final, traj = env.rollout(
             env.reset(s0=jnp.zeros(B), speed0=1.0, key=sub,
                       noise_scale=args.noise_scale, batch_shape=(B,)),
             policy, n_steps=args.n_steps)
+        if args.save_tube:
+            o = traj.obs
+            curv_t = interp_wrapped(rl.ss, rl.ks, o.s, rl.length)
+            vxg_t = horizon_goal_speed(rl, o.s, o.linear_vel_x,
+                                       args.horizon * args.ctrl_dt)
+            states = np.asarray(jnp.stack(
+                [o.ey, o.delta, o.linear_vel_x, o.linear_vel_y, vxg_t,
+                 o.ang_vel_z, o.epsi, curv_t], axis=-1))
+            alive = ~np.asarray(traj.done)
+            tube_chunks.append(states[alive])
         ey_mean, epsi_mean = deviation_metrics(traj)
         ok = ~np.asarray(final.done)
         newly = (ok | (attempt == args.max_retries)) & ~success
@@ -216,6 +240,11 @@ def main():
         print(f"mu={mu:.2f} cs={cs:.2f}: mean|ey|={ey_c[i]:.4f} "
               f"mean|epsi|={epsi_c[i]:.4f} completion={comp_c[i]:.2f} "
               f"laps={laps_c[i]:.1f}")
+
+    if args.save_tube and tube_chunks:
+        tube = np.concatenate(tube_chunks, axis=0)
+        np.savez_compressed(args.save_tube, states=tube)
+        print(f"saved {tube.shape[0]} tube states to {args.save_tube}")
 
     with open(f"{args.out_name}.pkl", "wb") as f:
         pickle.dump({"combos": combos, "ey": ey_c, "epsi": epsi_c,

@@ -87,6 +87,12 @@ def test_edt_matches_scipy_oracle():
     ring[8:-8, 8:-8] = True
     ring[40:-40, 40:-40] = False             # square annulus corridor
     cases.append(ring)
+    # large map: q*q reaches ~1e7 where f32 ulp ~ 1 — exercises the f64
+    # parabola-intersection arithmetic in dt1d (real track bitmaps are a few
+    # thousand cells per side)
+    big = np.ones((2048, 3000), bool)
+    big[0, 0] = big[-1, -1] = big[1024, 1500] = False
+    cases.append(big)
     for free in cases:
         got = native.edt(free, resolution=0.25)
         want = 0.25 * distance_transform_edt(free)

@@ -270,3 +270,24 @@ def test_grid_lookup_linear_interpolates():
     table3 = grid_table_from_arrays(inputs, out_all)
     _, valid3 = grid_lookup_linear(table3, jnp.asarray(q))
     assert not bool(jnp.any(valid3))
+
+
+def test_grid_lookup_linear_singleton_axis():
+    """A table with a single-value dimension (e.g. one swept vy) must
+    interpolate the remaining dims and pin the singleton dim — the old
+    clip-to--1 base index silently blended an aliased far row."""
+    from irbfn_tpu.planning.explicit import (grid_lookup_linear,
+                                             grid_table_from_arrays)
+
+    xs = np.linspace(0.0, 1.0, 5)
+    ys = np.asarray([2.0])  # singleton axis
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    inputs = np.stack([gx.reshape(-1), gy.reshape(-1)], -1).astype(np.float32)
+    out = (10.0 * inputs[:, :1] + inputs[:, 1:]).astype(np.float32)
+    table = grid_table_from_arrays(inputs, out)
+    # queries on, below, and above the singleton value
+    q = np.asarray([[0.5, 2.0], [0.9, 1.0], [0.1, 3.0]], np.float32)
+    got, valid = grid_lookup_linear(table, jnp.asarray(q))
+    want = 10.0 * q[:, :1] + 2.0  # singleton dim pinned at its grid value
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    assert bool(jnp.all(valid))

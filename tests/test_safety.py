@@ -113,9 +113,11 @@ def test_pid_matches_reference_branches():
     delta[:8] = steer[:8]  # exact deadband hits
     accl, sv = pid_lowlevel(jnp.asarray(speed), jnp.asarray(steer),
                             jnp.asarray(v), jnp.asarray(delta), p)
+    # v_min = -5.0: the reference gym's asymmetric reverse-speed limit
+    # (see pid_lowlevel docstring)
     want = np.array([_pid_oracle(speed[i], steer[i], v[i], delta[i],
                                  float(p.sv_max), float(p.a_max),
-                                 float(p.v_max), -float(p.v_max))
+                                 float(p.v_max), -5.0)
                      for i in range(n)])
     np.testing.assert_allclose(np.asarray(accl), want[:, 0], rtol=1e-5,
                                atol=1e-6)
