@@ -53,6 +53,7 @@ def from_config(config: dict, centers=None, model_class: str = "WCRBFNet"):
             centers=centers,
             fixed_centers=config.get("fixed_centers", False),
             fixed_width=config.get("fixed_width", False),
+            head_mode=config.get("head_mode", "shared"),
         )
     return cls(**kwargs)
 

@@ -49,42 +49,59 @@ class DirectFit(NamedTuple):
 
 def rbf_features(x, centers, log_sigs, lb, ub, delta, activation_idx,
                  basis_func, mode: str = "shared", input_scale=None):
-    """Region-blended RBF feature map. x (B,F) -> (B, K) or (B, R*K).
+    """Region-blended RBF feature map. x (B,F) -> (B, K) for ``shared`` or
+    (B, R*K + R) for ``per_region`` — matching WCRBFNet's head_mode feature
+    layouts exactly (wcrbf.RegionRBFCore), so solved weights load into the
+    net's Dense head.
+
+    ``per_region`` uses NORMALIZED region weights (partition of unity) and
+    appends the gamma columns themselves (the per-region bias features).
 
     The region indicator gates on RAW inputs (bounds are in raw units);
     ``input_scale`` only reshapes the RBF distance metric (see
     wcrbf.rbf_distances)."""
     gamma = region_activation(x, lb, ub, delta, activation_idx)  # (B, R)
+    if mode == "per_region":
+        gamma = gamma / (jnp.sum(gamma, axis=-1, keepdims=True) + 1e-9)
     d = rbf_distances(x, centers, log_sigs, input_scale=input_scale)
     phi = basis_func(d)
     if mode == "shared":
         return jnp.einsum("br,brk->bk", gamma, phi)
     weighted = gamma[:, :, None] * phi  # (B, R, K)
-    return weighted.reshape(x.shape[0], -1)
+    return jnp.concatenate([weighted.reshape(x.shape[0], -1), gamma], axis=-1)
 
 
 def fit_direct(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
                basis_func, reg: float = 1e-5, mode: str = "shared",
-               chunk: int = 65536, input_scale=None) -> DirectFit:
-    """Solve min_W ||G(x) W + b - y||^2 + reg ||W||^2 in closed form.
+               chunk: int = 65536, input_scale=None,
+               sample_weight=None) -> DirectFit:
+    """Solve min_W sum_i w_i ||G(x_i) W + b - y_i||^2 + reg ||W||^2 in
+    closed form.
 
     Normal equations are accumulated over ``chunk``-row blocks with a
     ``lax.scan`` (streaming: the (N, Kf) design matrix never materializes),
     then solved with one Cholesky of the (Kf+1, Kf+1) system (bias folded in
-    as a constant feature).
+    as a constant feature). ``sample_weight`` (N,) optionally weights rows
+    (e.g. tube_weights — fit accuracy concentrated where closed-loop
+    operation actually visits).
 
     ``reg`` is RELATIVE to the mean diagonal of G^T G (gaussian gram
     matrices are catastrophically ill-conditioned; in f32 the Cholesky needs
     reg >= ~1e-5 relative — below that it returns NaN weights).
+
+    NOTE ``mode="per_region"`` here builds the FULL (R*K+R)^2 gram — only
+    affordable for small R*K; for real tables use ``fit_per_region``, which
+    exploits the block structure at the same cost as a shared fit.
     """
     with jax.default_matmul_precision("highest"):
         return _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta,
                                 activation_idx, basis_func, reg, mode, chunk,
-                                input_scale)
+                                input_scale, sample_weight)
 
 
 def _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
-                     basis_func, reg, mode, chunk, input_scale=None):
+                     basis_func, reg, mode, chunk, input_scale=None,
+                     sample_weight=None):
     # NOTE: runs under default_matmul_precision("highest") — TPU f32 matmuls
     # otherwise go through the bf16 MXU pass, which destroys the gram
     # matrix's conditioning and NaNs the Cholesky.
@@ -93,27 +110,33 @@ def _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     pad = n_pad - n
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     yp = jnp.pad(y, ((0, pad), (0, 0)))
-    mask = jnp.pad(jnp.ones((n,), x.dtype), (0, pad))
+    w = (jnp.ones((n,), x.dtype) if sample_weight is None
+         else jnp.asarray(sample_weight, x.dtype))
+    wp = jnp.pad(w, (0, pad))  # padded rows: weight 0
 
     feats_fn = partial(rbf_features, centers=centers, log_sigs=log_sigs,
                        lb=lb, ub=ub, delta=delta,
                        activation_idx=activation_idx, basis_func=basis_func,
                        mode=mode, input_scale=input_scale)
     kf = (centers.shape[1] if mode == "shared"
-          else centers.shape[0] * centers.shape[1])
+          else centers.shape[0] * (centers.shape[1] + 1))
 
     def body(carry, blk):
         gtg, gty = carry
-        xb, yb, mb = blk
-        g = feats_fn(xb) * mb[:, None]
-        g1 = jnp.concatenate([g, mb[:, None]], axis=1)  # bias feature
-        gtg = gtg + g1.T @ g1
-        gty = gty + g1.T @ (yb * mb[:, None])
+        xb, yb, wb = blk
+        # cast: f64 bounds/delta (x64 test mode) promote the features above
+        # the carry dtype, which scan rejects
+        g1 = jnp.concatenate(
+            [feats_fn(xb), jnp.ones((xb.shape[0], 1), xb.dtype)],
+            axis=1).astype(xb.dtype)
+        gw = g1 * wb[:, None]
+        gtg = gtg + gw.T @ g1
+        gty = gty + gw.T @ yb
         return (gtg, gty), None
 
     blocks = (xp.reshape(-1, chunk, x.shape[1]),
               yp.reshape(-1, chunk, y.shape[1]),
-              mask.reshape(-1, chunk))
+              wp.reshape(-1, chunk))
     init = (jnp.zeros((kf + 1, kf + 1), x.dtype),
             jnp.zeros((kf + 1, y.shape[1]), x.dtype))
     (gtg, gty), _ = jax.lax.scan(body, init, blocks)
@@ -135,6 +158,132 @@ def _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     return DirectFit(wb[:-1], wb[-1], centers, log_sigs, mode, scale_t)
 
 
+def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
+                   basis_func, reg: float = 1e-5, chunk: int = 65536,
+                   input_scale=None, sample_weight=None,
+                   margin_steps: float = 2.0, grid_steps=None) -> DirectFit:
+    """Per-region output heads at shared-fit cost.
+
+    The full ``mode="per_region"`` normal equations are (R*K+R)^2 — R^2 x
+    the shared fit's FLOPs, intractable for real tables (R=16, K=512 ->
+    8e17 flops). But the block structure makes them unnecessary: region r's
+    normalized weight is ~0 outside its (overlapped) box, so the gram's
+    cross-region blocks vanish and the problem decouples into R independent
+    weighted least squares, each over only the rows NEAR region r:
+
+        min_{W_r,b_r} sum_i w_i gamma_n_ri || phi_r(x_i) W_r + b_r - y_i ||^2
+
+    (the standard local-model / Takagi-Sugeno fit). The blended prediction
+    sum_r gamma_n_r (phi_r W_r + b_r) is exactly ``rbf_features
+    (mode="per_region") @ W``, so the result loads into a
+    ``WCRBFNet(head_mode="per_region")`` Dense head.
+
+    Row selection per region is a HOST-side box test (lattice inputs, no
+    device fetch): rows within ``margin_steps`` grid steps of the region box
+    (the tanh gate's tail width; ``grid_steps`` (D,) defaults to
+    4/delta ~ one grid step). Total work ~= overlap_factor * N * K^2 — the
+    same order as one shared fit.
+    """
+    x_np = np.asarray(x)
+    y_np = np.asarray(y)
+    lb_np, ub_np = np.asarray(lb), np.asarray(ub)
+    R, K, F = centers.shape
+    O = y_np.shape[1]
+    act = list(activation_idx)
+    if grid_steps is None:
+        grid_steps = 4.0 / np.asarray(delta, np.float64)
+    margin = margin_steps * np.asarray(grid_steps)
+    sw_np = (None if sample_weight is None
+             else np.asarray(sample_weight, np.float32))
+
+    lb_d, ub_d = jnp.asarray(lb_np), jnp.asarray(ub_np)
+    delta_d = jnp.asarray(delta)
+    act_t = tuple(act)
+
+    @partial(jax.jit, static_argnames=("r",))
+    def accumulate(xs, ys, ws, r):
+        # chunked weighted gram for one region: A = P^T diag(w) P with
+        # P = [phi_r, 1]; w = gamma_n_r * sample_weight
+        with jax.default_matmul_precision("highest"):
+            gamma = region_activation(xs, lb_d, ub_d, delta_d, act_t)
+            gamma = gamma / (jnp.sum(gamma, axis=-1, keepdims=True) + 1e-9)
+            d = rbf_distances(xs, centers[r:r + 1], log_sigs[r:r + 1],
+                              input_scale=input_scale)  # (B, 1, K)
+            p1 = jnp.concatenate(
+                [basis_func(d[:, 0, :]),
+                 jnp.ones((xs.shape[0], 1), xs.dtype)], axis=1)
+            w = gamma[:, r] * ws
+            pw = p1 * w[:, None]
+            return pw.T @ p1, pw.T @ ys
+
+    weights = np.zeros((R * K + R, O), np.float32)
+    xa = x_np[:, act]
+    for r in range(R):
+        m = np.all((xa >= lb_np[r] - margin) & (xa <= ub_np[r] + margin),
+                   axis=1)
+        xs_r, ys_r = x_np[m], y_np[m]
+        ws_r = (np.ones(xs_r.shape[0], np.float32) if sw_np is None
+                else sw_np[m])
+        A = np.zeros((K + 1, K + 1), np.float64)
+        b = np.zeros((K + 1, O), np.float64)
+        for i0 in range(0, xs_r.shape[0], chunk):
+            Ab, bb = accumulate(jnp.asarray(xs_r[i0:i0 + chunk]),
+                                jnp.asarray(ys_r[i0:i0 + chunk]),
+                                jnp.asarray(ws_r[i0:i0 + chunk]), r)
+            A += np.asarray(Ab, np.float64)
+            b += np.asarray(bb, np.float64)
+        # host f64 solve with trace-relative ridge (see _fit_direct_impl)
+        reg_eff = reg * np.trace(A) / (K + 1)
+        sol = np.linalg.solve(A + reg_eff * np.eye(K + 1), b)
+        weights[r * K:(r + 1) * K] = sol[:-1]
+        weights[R * K + r] = sol[-1]
+
+    scale_t = (None if input_scale is None
+               else tuple(float(v) for v in np.asarray(input_scale)))
+    return DirectFit(jnp.asarray(weights), jnp.zeros((O,), jnp.float32),
+                     centers, log_sigs, "per_region", scale_t)
+
+
+def tube_weights(x, tube, input_scale=None, bandwidth: float = 1.0,
+                 floor: float = 0.05, chunk: int = 262144,
+                 max_tube: int = 2048, seed: int = 0) -> np.ndarray:
+    """Row weights from proximity to the closed-loop operating tube.
+
+    ``tube`` (M, F) are net-input states visited by a planner that already
+    laps (e.g. NMPC closed loop on the target track). Each table row gets
+
+        w_i = floor + (1 - floor) * exp(-0.5 * d_i^2 / bandwidth^2)
+
+    with d_i the distance from row i to the NEAREST tube state in the
+    ``input_scale`` metric (proximity to the tube manifold — deliberately
+    not a density: how often the tube visits a neighborhood shouldn't down-
+    weight rarely-visited but critical states like the braking wall entry).
+    ``floor`` keeps off-tube rows in the fit so the model still degrades
+    gracefully off-raceline. Distances ride the MXU ((chunk, M) matmul);
+    weights return as host numpy for center sampling / row gathers."""
+    tube = np.asarray(tube, np.float32)
+    if tube.shape[0] > max_tube:
+        rng = np.random.default_rng(seed)
+        tube = tube[rng.choice(tube.shape[0], max_tube, replace=False)]
+    s = (np.ones(tube.shape[1], np.float32) if input_scale is None
+         else np.asarray(input_scale, np.float32))
+    t_d = jnp.asarray(tube * s)
+
+    @jax.jit
+    def min_d2(xc):
+        xs = xc * s
+        d2 = (jnp.sum(xs * xs, -1, keepdims=True)
+              - 2.0 * xs @ t_d.T + jnp.sum(t_d * t_d, -1))
+        return jnp.min(d2, axis=-1)
+
+    x_np = np.asarray(x, np.float32)
+    out = np.empty(x_np.shape[0], np.float32)
+    for i0 in range(0, x_np.shape[0], chunk):
+        out[i0:i0 + chunk] = np.asarray(min_d2(jnp.asarray(x_np[i0:i0 + chunk])))
+    return (floor + (1.0 - floor)
+            * np.exp(-0.5 * np.maximum(out, 0.0) / bandwidth**2))
+
+
 def data_scale(x, activation_idx=()) -> np.ndarray:
     """Per-dim metric weights 1/std from the data (constant dims -> 1).
     The standard anisotropic-RBF normalization: all input dims contribute
@@ -146,29 +295,38 @@ def data_scale(x, activation_idx=()) -> np.ndarray:
 def choose_centers(x, num_kernels: int, num_regions: int, seed: int = 0,
                    jitter: float = 1e-3, input_scale=None, lb=None, ub=None,
                    activation_idx=None, width_neighbors: int = 4,
-                   width_factor: float = 2.0):
+                   width_factor: float = 2.0, probs=None):
     """Pick per-region centers as a random subset of the rows BELONGING to
     that region (hard box test on the activation dims; global sampling when
     no bounds are given — a region's kernels are wasted if its centers land
     where its indicator is ~0), with per-kernel widths from the distance to
     the ``width_neighbors``-th nearest center of the same region, measured
     in the ``input_scale`` metric (the classical nearest-neighbor width
-    recipe; a single region-wide median-pairwise width over-smooths)."""
+    recipe; a single region-wide median-pairwise width over-smooths).
+
+    ``probs`` (N,) optionally biases the sampling (importance sampling,
+    e.g. tube_weights): regions spend their kernel budget where the fit is
+    weighted — on a lattice table, uniform sampling puts only ~2 kernels
+    near any given operating neighborhood."""
     rng = np.random.default_rng(seed)
     x_np = np.asarray(x)
     F = x_np.shape[1]
     s = np.ones(F) if input_scale is None else np.asarray(input_scale)
+    p_all = None if probs is None else np.asarray(probs, np.float64)
     centers = np.empty((num_regions, num_kernels, F), x_np.dtype)
     for r in range(num_regions):
-        pool = x_np
+        pool, p_pool = x_np, p_all
         if lb is not None:
             xa = x_np[:, list(activation_idx)]
             m = np.all((xa >= np.asarray(lb)[r] - 1e-9)
                        & (xa <= np.asarray(ub)[r] + 1e-9), axis=1)
             if m.any():
                 pool = x_np[m]
+                p_pool = None if p_all is None else p_all[m]
+        if p_pool is not None:
+            p_pool = p_pool / p_pool.sum()
         idx = rng.choice(pool.shape[0], size=num_kernels,
-                         replace=pool.shape[0] < num_kernels)
+                         replace=pool.shape[0] < num_kernels, p=p_pool)
         centers[r] = (pool[idx]
                       + jitter * rng.standard_normal((num_kernels, F)))
     log_sigs = np.zeros((num_regions, num_kernels))

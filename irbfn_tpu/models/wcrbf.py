@@ -132,6 +132,7 @@ class RegionRBFCore(nn.Module):
     trainable_centers: bool = True
     trainable_widths: bool = True
     input_scale: Optional[Sequence[float]] = None  # (F,) metric weights
+    head_mode: str = "shared"  # "shared" (B,K) | "per_region" (B, R*K+R)
 
     def _center_initializer(self):
         if self.centers_init is None:
@@ -166,6 +167,14 @@ class RegionRBFCore(nn.Module):
         d = rbf_distances(x, centers, log_sigs,
                           input_scale=self.input_scale)  # (B, R, K)
         phi = self.basis_func(d)
+        if self.head_mode == "per_region":
+            # block features [w_r * phi_rk ; w_r]: a Dense head over them is
+            # a PER-REGION linear model (weights + bias) blended by the
+            # region weights — strictly more expressive than the shared head
+            # and exactly the fit_per_region parameterization (models/fit.py)
+            weighted = region_weights[:, :, None] * phi  # (B, R, K)
+            return jnp.concatenate(
+                [weighted.reshape(x.shape[0], -1), region_weights], axis=-1)
         return jnp.einsum("br,brk->bk", region_weights, phi)
 
 
@@ -194,6 +203,13 @@ class WCRBFNet(nn.Module):
     fixed_width: bool = False
     input_scale: Optional[Sequence[float]] = None  # (F,) metric weights
     # (tuple; see rbf_distances — centers stay in raw input units)
+    # "per_region": per-region output heads over NORMALIZED region weights
+    # (gamma / sum gamma, an exact partition of unity) — the net becomes a
+    # convex blend of R independent local RBF models. Fixes two shared-head
+    # failure modes observed closed-loop: edge attenuation (raw gamma is 0.5
+    # at the outermost bounds, halving the output there) and seam
+    # disagreement (overlap zones sum gamma ~ 2)
+    head_mode: str = "shared"
 
     def setup(self):
         lb, ub = build_region_bounds(self.lower_bounds, self.upper_bounds,
@@ -210,6 +226,7 @@ class WCRBFNet(nn.Module):
             trainable_centers=not self.fixed_centers,
             trainable_widths=not self.fixed_width,
             input_scale=self.input_scale,
+            head_mode=self.head_mode,
         )
         self.head = nn.Dense(self.out_features)
 
@@ -217,6 +234,8 @@ class WCRBFNet(nn.Module):
         gamma = region_activation(x, self._lb, self._ub,
                                   self._delta.astype(x.dtype),
                                   tuple(self.activation_idx))
+        if self.head_mode == "per_region":
+            gamma = gamma / (jnp.sum(gamma, axis=-1, keepdims=True) + 1e-9)
         feats = self.core(x, gamma)
         return self.head(feats)
 

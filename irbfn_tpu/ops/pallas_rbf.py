@@ -42,13 +42,18 @@ def _round_up(x, m):
 
 
 def _rbf_kernel(x_ref, gamma_ref, centers_ref, inv_sigs_ref, w_ref, b_ref,
-                out_ref, *, basis_fn, num_regions):
-    """Kernel body: per-region RBF features, gamma-blended, linear head.
+                out_ref, *, basis_fn, num_regions, per_region):
+    """Kernel body: per-region RBF features, gamma-blended, linear head(s).
 
     The smooth region indicator gamma arrives precomputed (cheap elementwise
-    work the surrounding XLA fuses anyway); keeping its rank-3 gate tensors
-    out of the kernel keeps the Mosaic scoped-VMEM stack small. What stays
-    in VMEM is the expensive part: the (TB, R, K) basis intermediate.
+    work the surrounding XLA fuses anyway; NORMALIZED by the wrapper for
+    per-region heads); keeping its rank-3 gate tensors out of the kernel
+    keeps the Mosaic scoped-VMEM stack small. What stays in VMEM is the
+    expensive part: the (TB, R, K) basis intermediate.
+
+    ``per_region``: w_ref is (R, Kp, Op) / b_ref (Rp, Op) and the head
+    matmul moves inside the region loop — out = sum_r gamma_r (phi_r W_r +
+    b_r), the WCRBFNet(head_mode="per_region") forward.
     """
     x = x_ref[:]  # (TB, F)
     gamma = gamma_ref[:]  # (TB, R)
@@ -57,7 +62,8 @@ def _rbf_kernel(x_ref, gamma_ref, centers_ref, inv_sigs_ref, w_ref, b_ref,
     # statically unrolled region loop: Mosaic has no dynamic_slice lowering
     # for ref indexing by a traced fori index, and num_regions is a static
     # kernel parameter anyway
-    feat = jnp.zeros((x.shape[0], w_ref.shape[0]), jnp.float32)
+    acc = jnp.zeros((x.shape[0], out_ref.shape[1]), jnp.float32)
+    feat = jnp.zeros((x.shape[0], w_ref.shape[-2]), jnp.float32)
     for r in range(num_regions):
         c = centers_ref[r]  # (K, F)
         inv_sig = inv_sigs_ref[r]  # (K,)
@@ -65,10 +71,19 @@ def _rbf_kernel(x_ref, gamma_ref, centers_ref, inv_sigs_ref, w_ref, b_ref,
         cross = jnp.dot(x, c.T, preferred_element_type=jnp.float32)
         d = jnp.sqrt(jnp.maximum(x_sq - 2.0 * cross + c_sq[None, :], 1e-30))
         phi = basis_fn(d * inv_sig[None, :])  # (TB, K)
-        feat = feat + gamma[:, r][:, None] * phi
+        gphi = gamma[:, r][:, None] * phi
+        if per_region:
+            acc = acc + jnp.dot(gphi, w_ref[r],
+                                preferred_element_type=jnp.float32)
+            acc = acc + gamma[:, r][:, None] * b_ref[r][None, :]
+        else:
+            feat = feat + gphi
 
-    out_ref[:] = jnp.dot(feat, w_ref[:],
-                         preferred_element_type=jnp.float32) + b_ref[:]
+    if per_region:
+        out_ref[:] = acc
+    else:
+        out_ref[:] = jnp.dot(feat, w_ref[:],
+                             preferred_element_type=jnp.float32) + b_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("basis_fn", "tile_b", "interpret"))
@@ -81,17 +96,22 @@ def wcrbf_forward_pallas(x, centers, log_sigs, lb, ub, delta, w, b,
         x: (B, F) inputs
         centers: (R, K, F); log_sigs: (R, K)
         lb/ub: (R, D) region bounds over the activation dims; delta: (D,)
-        w: (K, O) head weights; b: (O,)
+        w: (K, O) shared head weights, or (R, K, O) per-region heads
+        b: (O,) shared bias, or (R, O) per-region biases
     Returns:
         (B, O) outputs (f32)
 
     The wrapper pads B to tile_b, K/O to 128 lanes, and embeds the activation
     dims into full feature width with +-inf bounds on non-split dims so the
-    kernel's indicator product is exact.
+    kernel's indicator product is exact. A rank-3 ``w`` selects the
+    per-region-head forward (WCRBFNet head_mode="per_region"): gamma is
+    normalized to a partition of unity and each region applies its own
+    (K, O) head + (O,) bias inside the fused loop.
     """
     B, F = x.shape
     R, K, _ = centers.shape
-    O = w.shape[1]
+    per_region = w.ndim == 3
+    O = w.shape[-1]
     Kp = _round_up(K, 128)
     Op = _round_up(O, 128)
     Fp = _round_up(F, 128)
@@ -106,8 +126,20 @@ def wcrbf_forward_pallas(x, centers, log_sigs, lb, ub, delta, w, b,
     # phi(pad) contributes ~0 for decaying bases; safer: zero head weights
     inv_s = jnp.zeros((R, Kp), f32).at[:, :K].set(
         jnp.exp(-log_sigs).astype(f32))
-    wp = jnp.zeros((Kp, Op), f32).at[:K, :O].set(w.astype(f32))
-    bp = jnp.zeros((1, Op), f32).at[0, :O].set(b.astype(f32))
+    if per_region:
+        wp = jnp.zeros((R, Kp, Op), f32).at[:, :K, :O].set(w.astype(f32))
+        bp = jnp.zeros((Rp, Op), f32).at[:R, :O].set(b.astype(f32))
+        w_spec = pl.BlockSpec((R, Kp, Op), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec((Rp, Op), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        wp = jnp.zeros((Kp, Op), f32).at[:K, :O].set(w.astype(f32))
+        bp = jnp.zeros((1, Op), f32).at[0, :O].set(b.astype(f32))
+        w_spec = pl.BlockSpec((Kp, Op), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec((1, Op), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
 
     # region indicator in plain XLA (cheap elementwise; fuses with the pad)
     lo = 0.5 * (jnp.tanh(delta[None, None] * (x[:, None, :lb.shape[1]]
@@ -115,9 +147,12 @@ def wcrbf_forward_pallas(x, centers, log_sigs, lb, ub, delta, w, b,
     hi = 0.5 * (jnp.tanh(delta[None, None] * (ub[None]
                                               - x[:, None, :ub.shape[1]])) + 1.0)
     gamma = jnp.prod(lo * hi, axis=-1)  # (B, R)
+    if per_region:
+        gamma = gamma / (jnp.sum(gamma, axis=-1, keepdims=True) + 1e-9)
     gp = jnp.zeros((Bp, Rp), f32).at[:B, :R].set(gamma.astype(f32))
 
-    kernel = functools.partial(_rbf_kernel, basis_fn=basis_fn, num_regions=R)
+    kernel = functools.partial(_rbf_kernel, basis_fn=basis_fn, num_regions=R,
+                               per_region=per_region)
     grid = (Bp // tile_b,)
     out = pl.pallas_call(
         kernel,
@@ -130,8 +165,8 @@ def wcrbf_forward_pallas(x, centers, log_sigs, lb, ub, delta, w, b,
             pl.BlockSpec((R, Kp, Fp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # centers
             pl.BlockSpec((R, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, Op), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Op), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            w_spec,
+            b_spec,
         ],
         out_specs=pl.BlockSpec((tile_b, Op), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -174,7 +209,14 @@ def wcrbf_params_to_pallas(variables, model):
         lb_full = lb_full * s
         ub_full = ub_full * s
         delta_full = delta_full / s
+    w = np.asarray(head["kernel"])
+    b = np.asarray(head["bias"])
+    if getattr(model, "head_mode", "shared") == "per_region":
+        # (R*K + R, O) Dense kernel -> per-region (R, K, O) heads + (R, O)
+        # biases; the global Dense bias folds into every region's bias
+        # because the normalized gammas sum to 1
+        R, K = model.num_regions, model.num_kernels
+        w, b = w[:R * K].reshape(R, K, -1), w[R * K:] + b[None]
     return (jnp.asarray(centers), jnp.asarray(log_sigs),
             jnp.asarray(lb_full), jnp.asarray(ub_full),
-            jnp.asarray(delta_full), jnp.asarray(head["kernel"]),
-            jnp.asarray(head["bias"]))
+            jnp.asarray(delta_full), jnp.asarray(w), jnp.asarray(b))

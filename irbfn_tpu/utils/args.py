@@ -75,6 +75,20 @@ def add_train_args(p: argparse.ArgumentParser):
     g.add_argument("--finetune_epochs", type=int, default=0,
                    help="with --direct_fit: SGD epochs of the integration "
                         "loss from the closed-form warm start")
+    g.add_argument("--fit_mode", choices=["shared", "per_region"],
+                   default="shared",
+                   help="head parameterization: one shared linear head over "
+                        "blended features, or per-region local heads over a "
+                        "normalized (partition-of-unity) blend")
+    g.add_argument("--tube_npz", type=str, default=None,
+                   help="npz of closed-loop visited net-input states "
+                        "(scripts/eval_closed_loop.py --save_tube); weights "
+                        "the fit and the kernel-center sampling toward the "
+                        "operating tube")
+    g.add_argument("--tube_bandwidth", type=float, default=1.0,
+                   help="tube-weight kernel bandwidth in input_scale units")
+    g.add_argument("--tube_floor", type=float, default=0.05,
+                   help="minimum weight for off-tube rows")
     # region splits per dim (num_<dim> regions)
     for name in ("ey", "delta", "vx_car", "vy_car", "vx_goal", "wz",
                  "epsi", "curv"):

@@ -128,7 +128,8 @@ def main():
     else:
         model = WCRBFNet(**model_kwargs, centers=centers,
                          fixed_centers=args.fixed_centers,
-                         fixed_width=args.fixed_width)
+                         fixed_width=args.fixed_width,
+                         head_mode=args.fit_mode)
 
     config = {
         "model_class": model_class, "in_features": 8,
@@ -142,6 +143,7 @@ def main():
         "mu": args.mu, "cs": args.cs,
         "fixed_centers": args.fixed_centers, "fixed_width": args.fixed_width,
         "input_scale": list(input_scale),
+        "head_mode": args.fit_mode if model_class == "WCRBFNet" else "shared",
     }
     os.makedirs("configs", exist_ok=True)
     save_config(f"configs/{args.run_name}.yaml", config)
@@ -160,25 +162,48 @@ def main():
         # the Adam path for table fitting
         import time
 
-        from irbfn_tpu.models.fit import choose_centers, fit_direct
+        from irbfn_tpu.models.fit import (choose_centers, fit_direct,
+                                          fit_per_region, tube_weights)
         from irbfn_tpu.models.wcrbf import build_region_bounds
 
         x = jnp.asarray(inputs, jnp.float32)
         yv = jnp.asarray(outputs, jnp.float32)
         lb, ub = build_region_bounds(lower_bounds, upper_bounds,
                                      dimension_ranges, activation_idx)
+        sample_weight = None
+        if args.tube_npz:
+            tube = np.load(args.tube_npz)["states"]
+            t0 = time.time()
+            sample_weight = tube_weights(inputs, tube,
+                                         input_scale=input_scale,
+                                         bandwidth=args.tube_bandwidth,
+                                         floor=args.tube_floor)
+            frac = float((sample_weight > 2 * args.tube_floor).mean())
+            print(f"tube weights from {tube.shape[0]} visited states in "
+                  f"{time.time() - t0:.1f}s; {100 * frac:.1f}% of rows "
+                  "substantially weighted")
         centers, log_sigs = choose_centers(x, num_kernels=args.num_k,
                                            num_regions=num_regions,
                                            seed=args.seed,
                                            input_scale=input_scale,
                                            lb=lb, ub=ub,
-                                           activation_idx=activation_idx)
+                                           activation_idx=activation_idx,
+                                           probs=sample_weight)
         t0 = time.time()
-        fit = fit_direct(x, yv, centers, log_sigs, jnp.asarray(lb),
-                         jnp.asarray(ub), jnp.asarray(delta),
-                         tuple(activation_idx),
-                         get_basis(args.basis_function),
-                         input_scale=input_scale)
+        if args.fit_mode == "per_region":
+            fit = fit_per_region(x, yv, centers, log_sigs, jnp.asarray(lb),
+                                 jnp.asarray(ub), jnp.asarray(delta),
+                                 tuple(activation_idx),
+                                 get_basis(args.basis_function),
+                                 input_scale=input_scale,
+                                 sample_weight=sample_weight)
+        else:
+            fit = fit_direct(x, yv, centers, log_sigs, jnp.asarray(lb),
+                             jnp.asarray(ub), jnp.asarray(delta),
+                             tuple(activation_idx),
+                             get_basis(args.basis_function),
+                             input_scale=input_scale,
+                             sample_weight=sample_weight)
         pred = fit.predict(x[:100000], jnp.asarray(lb), jnp.asarray(ub),
                            jnp.asarray(delta), tuple(activation_idx),
                            get_basis(args.basis_function))

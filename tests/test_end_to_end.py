@@ -121,3 +121,94 @@ def test_direct_fit_per_region_mode(table):
                      chunk=1024)
     pred = fit.predict(x, lb, ub, delta, (0,), get_basis("gaussian"))
     assert float(jnp.abs(pred - y).mean()) < 0.05
+
+
+def test_per_region_fit_matches_model_and_beats_shared():
+    """fit_per_region (R independent local solves) loads into a
+    WCRBFNet(head_mode='per_region') head exactly, and on a target with a
+    control-style discontinuity it beats the shared-head fit (the braking
+    wall: a shared gaussian bank rings at the jump; per-region local models
+    with a seam at the jump don't)."""
+    from irbfn_tpu.models.fit import fit_per_region
+    from irbfn_tpu.models.wcrbf import overlapping_segments
+
+    xs = np.linspace(-1.0, 1.0, 41)
+    zs = np.linspace(-1.0, 1.0, 9)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    x = np.stack([gx.reshape(-1), gz.reshape(-1)], -1).astype(np.float32)
+    # discontinuous in dim 0 (like accel across the feasibility wall)
+    y = (np.where(x[:, :1] > 0, 2.0, -2.0) + 0.3 * x[:, 1:]).astype(np.float32)
+
+    lo, hi = overlapping_segments(xs, 2, num_overlap=1)
+    lb, ub = jnp.asarray([[v] for v in lo]), jnp.asarray([[v] for v in hi])
+    delta = jnp.asarray([4.0 / (xs[1] - xs[0])])
+    basis = get_basis("gaussian")
+    centers, log_sigs = choose_centers(x, num_kernels=24, num_regions=2,
+                                       seed=1, lb=lb, ub=ub,
+                                       activation_idx=(0,))
+
+    fit_pr = fit_per_region(x, y, centers, log_sigs, lb, ub, delta, (0,),
+                            basis, chunk=1024)
+    pred_pr = fit_pr.predict(jnp.asarray(x), lb, ub, delta, (0,), basis)
+    fit_sh = fit_direct(x, y, centers, log_sigs, lb, ub, delta, (0,),
+                        basis, chunk=1024)
+    pred_sh = fit_sh.predict(jnp.asarray(x), lb, ub, delta, (0,), basis)
+    err_pr = np.abs(np.asarray(pred_pr) - y)
+    err_sh = np.abs(np.asarray(pred_sh) - y)
+    assert err_pr.mean() < err_sh.mean(), (err_pr.mean(), err_sh.mean())
+    # the structural win: both fits blur AT the seam (a smooth blend across
+    # a jump must), but the shared head RINGS far from it while per-region
+    # local models contain the damage to the seam cell
+    away = np.abs(x[:, 0]) >= 0.2
+    assert err_pr[away].mean() < 0.15
+    assert err_pr[away].mean() < 0.7 * err_sh[away].mean()
+
+    # install into the flax model: forward must match DirectFit.predict
+    model = WCRBFNet(
+        in_features=2, out_features=1, num_kernels=24,
+        basis_func=basis, num_regions=2,
+        lower_bounds=[lo], upper_bounds=[hi],
+        dimension_ranges=[[0], [1]], activation_idx=[0],
+        delta=[float(delta[0])], head_mode="per_region")
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((4, 2)))
+    p = dict(params["params"])
+    p["core"] = {"centers": fit_pr.centers, "log_sigs": fit_pr.log_sigs}
+    p["head"] = {"kernel": fit_pr.weights, "bias": fit_pr.bias}
+    out_model = model.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_model), np.asarray(pred_pr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tube_weights_and_weighted_fit():
+    """tube_weights: rows near the visited states get ~1, far rows get the
+    floor; a tube-weighted fit is more accurate on-tube than unweighted."""
+    from irbfn_tpu.models.fit import tube_weights
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, size=(4000, 2)).astype(np.float32)
+    # the "tube": a thin band around x1 = 0
+    tube = np.stack([np.linspace(-1, 1, 200),
+                     np.zeros(200)], -1).astype(np.float32)
+    w = tube_weights(x, tube, bandwidth=0.1, floor=0.05, chunk=1024)
+    assert w.shape == (4000,)
+    near = np.abs(x[:, 1]) < 0.02
+    far = np.abs(x[:, 1]) > 0.6
+    assert w[near].min() > 0.5
+    assert w[far].max() < 0.1
+
+    # weighted shared fit: better on-tube accuracy for a hard target
+    y = np.sin(6 * x[:, :1]) * np.cos(3 * x[:, 1:]).astype(np.float32)
+    lb, ub = jnp.asarray([[-1.5]]), jnp.asarray([[1.5]])
+    delta = jnp.asarray([5.0])
+    basis = get_basis("gaussian")
+    centers, log_sigs = choose_centers(x, num_kernels=32, num_regions=1,
+                                       seed=0, probs=w)
+    fit_w = fit_direct(x, y, centers, log_sigs, lb, ub, delta, (0,), basis,
+                       chunk=1024, sample_weight=w)
+    fit_u = fit_direct(x, y, centers, log_sigs, lb, ub, delta, (0,), basis,
+                       chunk=1024)
+    pred_w = fit_w.predict(jnp.asarray(x[near]), lb, ub, delta, (0,), basis)
+    pred_u = fit_u.predict(jnp.asarray(x[near]), lb, ub, delta, (0,), basis)
+    err_w = float(jnp.abs(pred_w - y[near]).mean())
+    err_u = float(jnp.abs(pred_u - y[near]).mean())
+    assert err_w < err_u, (err_w, err_u)

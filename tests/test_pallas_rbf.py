@@ -48,3 +48,27 @@ def test_pallas_batch_padding(net_and_params):
         out = wcrbf_forward_pallas(x, *ops, basis_fn=get_basis("gaussian"),
                                    tile_b=64, interpret=True)
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_matches_flax_per_region_head():
+    """Per-region heads (head_mode='per_region'): the fused kernel's
+    in-loop per-region matmuls + normalized gamma match the flax path."""
+    model = WCRBFNet(
+        in_features=8, out_features=10, num_kernels=32,
+        basis_func=get_basis("gaussian"), num_regions=4,
+        lower_bounds=[[-2.0, 0.0], [1.0, 4.0]],
+        upper_bounds=[[0.0, 2.0], [4.0, 7.0]],
+        dimension_ranges=[[0, 0], [0, 1], [1, 0], [1, 1]],
+        activation_idx=[0, 2], delta=[15.0, 100.0],
+        input_scale=(1.0, 0.5, 1.0, 2.0, 1.0, 1.0, 1.0, 1.0),
+        head_mode="per_region")
+    params = model.init(jax.random.PRNGKey(5), jnp.ones((1, 8)))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(100, 8)), jnp.float32)
+    ref = model.apply(params, x)
+    ops = wcrbf_params_to_pallas(params, model)
+    scale = jnp.asarray(model.input_scale, jnp.float32)
+    out = wcrbf_forward_pallas(x * scale, *ops,
+                               basis_fn=get_basis("gaussian"),
+                               tile_b=64, interpret=True)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
