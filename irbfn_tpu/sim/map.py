@@ -114,6 +114,25 @@ def map_clearance(omap: OccupancyMap, x, y, radius=0.0):
     return distance_at(omap, x, y) - radius
 
 
+@partial(jax.jit, static_argnames=("n_discs",))
+def footprint_clearance(omap: OccupancyMap, x, y, theta,
+                        length: float = 0.58, width: float = 0.31,
+                        n_discs: int = 5):
+    """Rectangle-footprint clearance to map geometry via a covering-disc
+    chain: ``n_discs`` discs of radius sqrt((L/2n)^2 + (W/2)^2) spaced along
+    the heading cover the (length x width) rectangle exactly, so the test is
+    conservative by only r - W/2 (~1 cm at car scale with n=5, vs the
+    ~10-15 cm of a single CoG disc). The rectangle-accurate map half of the
+    reference's footprint collision checking (collision_models.py vertices).
+    Negative = collision."""
+    seg = length / n_discs
+    r = jnp.sqrt((seg / 2.0) ** 2 + (width / 2.0) ** 2)
+    offs = (jnp.arange(n_discs) - (n_discs - 1) / 2.0) * seg  # (n,)
+    cx = jnp.asarray(x)[..., None] + offs * jnp.cos(jnp.asarray(theta))[..., None]
+    cy = jnp.asarray(y)[..., None] + offs * jnp.sin(jnp.asarray(theta))[..., None]
+    return jnp.min(distance_at(omap, cx, cy), axis=-1) - r
+
+
 # --------------------------------------------------------------- host side
 
 def from_bitmap(free: np.ndarray, resolution: float,

@@ -2,13 +2,15 @@
 
 Capability match for f1tenth_gym's multi-agent ``Simulator``
 (envs/base_classes.py:359-542: per-agent RaceCar stepping + pairwise
-collision checks via njit GJK, collision_models.py).
+collision checks via njit GJK on rotated footprint vertices,
+collision_models.py:1-273).
 
 TPU-first: agents are just another batch axis. States are (..., A, 7); all
-agents step in one fused RK4; pairwise collisions are an (A, A) distance
-test on oriented-bounding-box proxy circles (two discs per car — front/rear
-axle — which matches GJK-on-rectangles to within a few cm at car scale and
-is branchless)."""
+agents step in one fused RK4. Pairwise collision is EXACT
+rectangle-vs-rectangle via the separating-axis theorem — for two oriented
+2-D rectangles SAT over the 4 edge normals is equivalent to GJK but
+branchless and fixed-shape (GJK's data-dependent simplex loop doesn't map
+to the VPU); a two-disc proxy remains as ``collision_model="discs"``."""
 
 from __future__ import annotations
 
@@ -39,20 +41,60 @@ def _disc_centers(x, p: VehicleParams):
     return jnp.stack([front, rear], axis=-2)
 
 
-def pairwise_collisions(x, p: VehicleParams, car_width: float = 0.31):
-    """Boolean (..., A) collision flags from pairwise disc distances.
+def rects_overlap(c1, th1, c2, th2, length: float, width: float):
+    """Exact oriented-rectangle overlap via the separating-axis theorem.
 
-    The disc radius covers the car's half width plus axle overhang — the
-    standard two-disc approximation of the car rectangle.
+    Two rectangles of the same (length, width), centered at c1/c2 (..., 2)
+    with headings th1/th2 (...): they overlap iff NO axis among the 4 edge
+    normals separates the projections. Equivalent to the reference's GJK on
+    `get_vertices` footprints (collision_models.py:121-218) — for convex
+    polygons SAT and GJK decide the same predicate — but fixed-shape and
+    branchless, so it vmaps over the (A, A) pair grid.
     """
+    half = jnp.asarray([length / 2.0, width / 2.0])
+    # body axes (..., 2, 2): rows are the two unit edge normals
+    def axes(th):
+        c, s = jnp.cos(th), jnp.sin(th)
+        return jnp.stack([jnp.stack([c, s], -1),
+                          jnp.stack([-s, c], -1)], axis=-2)
+
+    a1, a2 = jnp.broadcast_arrays(axes(th1), axes(th2))
+    axes_all = jnp.concatenate([a1, a2], axis=-2)  # (..., 4, 2)
+    d = (c2 - c1)[..., None, :]  # (..., 1, 2)
+    dist = jnp.abs(jnp.sum(axes_all * d, axis=-1))  # (..., 4)
+    # projection radius of each rect on each axis: sum_j half_j |a . e_j|
+    r1 = jnp.sum(half * jnp.abs(jnp.einsum("...kd,...jd->...kj",
+                                           axes_all, a1)), axis=-1)
+    r2 = jnp.sum(half * jnp.abs(jnp.einsum("...kd,...jd->...kj",
+                                           axes_all, a2)), axis=-1)
+    return jnp.all(dist <= r1 + r2, axis=-1)
+
+
+def pairwise_collisions(x, p: VehicleParams, car_width: float = 0.31,
+                        car_length: float = 0.58,
+                        collision_model: str = "rect"):
+    """Boolean (..., A) collision flags.
+
+    ``collision_model="rect"``: exact SAT on the oriented car footprints
+    (the reference's GJK-accuracy check); ``"discs"``: the two-disc proxy
+    (cheaper, ~10 cm conservative at close corners).
+    """
+    n_agents = x.shape[-2]
+    eye = jnp.eye(n_agents, dtype=bool)
+    if collision_model == "rect":
+        c = x[..., :2]
+        th = x[..., 4]
+        hit = rects_overlap(c[..., :, None, :], th[..., :, None],
+                            c[..., None, :, :], th[..., None, :],
+                            car_length, car_width)
+        hit = hit & ~eye
+        return jnp.any(hit, axis=-1)
     discs = _disc_centers(x, p)  # (..., A, 2, 2)
     radius = 0.5 * car_width + 0.1
     a = discs[..., :, None, :, None, :]  # (..., A, 1, 2, 1, 2)
     b = discs[..., None, :, None, :, :]  # (..., 1, A, 1, 2, 2)
     d = jnp.linalg.norm(a - b, axis=-1)  # (..., A, A, 2, 2)
     min_d = jnp.min(d, axis=(-1, -2))  # (..., A, A)
-    n_agents = x.shape[-2]
-    eye = jnp.eye(n_agents, dtype=bool)
     hit = (min_d < 2 * radius) & ~eye
     return jnp.any(hit, axis=-1)
 
@@ -62,11 +104,14 @@ class MultiAgentEnv:
 
     def __init__(self, track: Track, params: VehicleParams, n_agents: int,
                  sim_dt: float = 0.01, control_dt: float = 0.1,
-                 car_width: float = 0.31):
+                 car_width: float = 0.31, car_length: float = 0.58,
+                 collision_model: str = "rect"):
         self.track = track
         self.params = params
         self.n_agents = n_agents
         self.car_width = car_width
+        self.car_length = car_length
+        self.collision_model = collision_model
         self.substeps = max(1, int(round(control_dt / sim_dt)))
         self._p_sim = params._replace(
             dt=jnp.asarray(sim_dt, jnp.result_type(params.dt)))
@@ -96,7 +141,8 @@ class MultiAgentEnv:
         x_new, _ = jax.lax.scan(sub, state.x, None, length=self.substeps)
         x_new = jnp.where(state.collided[..., None], state.x, x_new)
         collided = state.collided | pairwise_collisions(
-            x_new, self.params, self.car_width)
+            x_new, self.params, self.car_width, self.car_length,
+            self.collision_model)
         return MultiAgentState(x_new, state.t + self.substeps * float(self._p_sim.dt),
                                collided)
 

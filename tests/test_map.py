@@ -137,3 +137,45 @@ def test_env_on_real_map_terminates_on_wall():
         sim = env.step(sim, jnp.asarray([0.0, 3.0]))
     assert bool(sim.done)
     assert bool(jnp.all(jnp.isfinite(sim.x)))  # frozen, not blown up
+
+
+def test_env_scan_and_ttc_emergency_stop():
+    """scan_spec puts lidar ranges in the obs / StepRecord; enable_ttc stops
+    a head-on wall approach before impact (reference check_ttc,
+    base_classes.py:240-272) while an open-road episode is unaffected."""
+    import jax.numpy as jnp
+
+    from irbfn_tpu.dynamics.params import f1tenth_params
+    from irbfn_tpu.sim import TrackEnv, oval_track
+
+    omap = square_room()
+    track = oval_track(n_samples=128, speed=3.0)
+    spec = ScanSpec(n_beams=32)
+    env = TrackEnv(track, f1tenth_params(dtype=jnp.float64), occ_map=omap,
+                   scan_spec=spec, enable_ttc=True, ttc_thresh=0.1)
+    # head-on approach: place the car near the east wall driving at it fast
+    # (the oval raceline lies outside the synthetic room, so poses are set
+    # directly)
+    sim = env.reset(batch_shape=(2,), speed0=0.5)
+    x0 = jnp.asarray([[3.0, 0.0, 0.0, 6.0, 0.0, 0.0, 0.0],
+                      [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]], jnp.float64)
+    sim = sim._replace(x=x0, done=jnp.zeros(2, bool))
+    obs = env.observe(sim)
+    assert obs.scan is not None and obs.scan.shape == (2, 32)
+    assert bool(jnp.all(obs.scan > 0))
+    hit_step = None
+    for t in range(30):
+        obs = env.observe(sim)
+        sim = env.step(sim, jnp.asarray([[0.0, 0.0], [0.0, 0.0]]), obs.scan)
+        if bool(sim.done[0]) and hit_step is None:
+            hit_step = t
+    assert hit_step is not None  # wall car emergency-stopped
+    assert not bool(sim.done[1])  # slow center car untouched
+    # stopped BEFORE the wall (car frozen with v=0, not inside the wall)
+    assert float(sim.x[0, 3]) == 0.0
+    assert float(sim.x[0, 0]) < 4.8
+    # rollout records scans in the StepRecord
+    sim0 = env.reset(batch_shape=(2,), speed0=0.5)._replace(
+        x=jnp.zeros((2, 7), jnp.float64))
+    _, traj = env.rollout(sim0, lambda o: jnp.zeros(o.ey.shape + (2,)), 3)
+    assert traj.obs.scan.shape == (3, 2, 32)
