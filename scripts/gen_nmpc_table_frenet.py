@@ -35,6 +35,15 @@ def main():
     add_vehicle_args(p)
     add_io_args(p)
     p.add_argument("--batch_per_device", type=int, default=8192)
+    p.add_argument("--resolve_factor", type=int, default=4,
+                   help="iteration-budget multiplier for the straggler "
+                        "re-solve pass over rows the first pass flags "
+                        "infeasible (0 disables). The f32 solver at the "
+                        "tuned budget is conservative: a slice of flagged "
+                        "rows are oracle-solvable stragglers, and since "
+                        "only ~9%% of rows are flagged, re-solving them "
+                        "4x harder costs ~1.4x total time while filling "
+                        "false table holes")
     args = p.parse_args()
 
     dims = ["ey", "delta", "vx_car", "vy_car", "vx_goal", "wz", "epsi", "curv"]
@@ -52,6 +61,12 @@ def main():
     # only the table-relevant outputs are fetched (4x less host-link bytes)
     solve = lambda r, pv: TableSolution.from_solution(  # noqa: E731
         solve_lattice_point(r, pv, cfg))
+    # straggler pass: same problem, bigger iteration budget (the AL/Newton
+    # analogue of letting IPOPT run more iterations on hard rows)
+    cfg_hard = NMPCConfig(gn_iters=cfg.gn_iters * max(args.resolve_factor, 1),
+                          al_outer=cfg.al_outer + 2)
+    solve_hard = lambda r, pv: TableSolution.from_solution(  # noqa: E731
+        solve_lattice_point(r, pv, cfg_hard))
     for mu in mus[::-1]:
         params = fullscale_params(mu=float(mu), cs=args.cs)
         t0 = time.time()
@@ -62,6 +77,23 @@ def main():
         feas = float(np.asarray(sol.feasible).mean())
         print(f"mu={mu:.2f}: {rows.shape[0] / dt:,.0f} solves/s, "
               f"{100 * feas:.1f}% feasible")
+        if args.resolve_factor > 0:
+            sol = TableSolution(*[np.asarray(f) for f in sol])
+            bad = np.nonzero(~sol.feasible)[0]
+            if bad.size:
+                t0 = time.time()
+                sol2 = solve_lattice_sharded(
+                    solve_hard, rows[bad],
+                    batch_per_device=args.batch_per_device, args=(params,))
+                rec = np.asarray(sol2.feasible)
+                sol.accel[bad] = np.asarray(sol2.accel)
+                sol.steer_vel[bad] = np.asarray(sol2.steer_vel)
+                sol.active_onehot[bad] = np.asarray(sol2.active_onehot)
+                sol.feasible[bad] = rec
+                print(f"  straggler re-solve ({args.resolve_factor}x budget)"
+                      f": recovered {int(rec.sum()):,}/{bad.size:,} flagged "
+                      f"rows in {time.time() - t0:.0f}s -> "
+                      f"{100 * float(sol.feasible.mean()):.1f}% feasible")
         table = frenet_table(rows, sol)
         name = "x".join(str(g.num) for g in grid)
         out = (f"{args.save_path}/frenet_table_{name}_mu{mu:.2f}_"
