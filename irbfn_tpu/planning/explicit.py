@@ -122,6 +122,31 @@ def grid_lookup_linear(table: GridTable, queries: jnp.ndarray):
                                table.outputs, table.valid, queries)
 
 
+def stack_grid_tables(tables: Sequence[GridTable]) -> GridTable:
+    """Stack same-lattice tables (e.g. one per mu) into ONE GridTable with a
+    leading integer 'arm' dimension.
+
+    The arm index becomes grid dim 0 with lows=0, step=1: a query whose
+    first coordinate is an exact integer arm id gets zero fractional weight
+    on that axis, so both grid_lookup and grid_lookup_linear select exactly
+    that arm's rows — a mixed-arm batch (each episode driving a different
+    table, as the EXP3 adaptive planner does) stays ONE fused device lookup
+    instead of a per-arm Python fan-out (reference AdaptiveExplicitPlanner
+    keeps a list of planners and dispatches in Python,
+    explicit_planner.py:452-608)."""
+    base = tables[0]
+    for t in tables[1:]:
+        if t.nums != base.nums:
+            raise ValueError("tables must share one lattice")
+    a = len(tables)
+    return GridTable(
+        jnp.concatenate([jnp.zeros((1,), base.lows.dtype), base.lows]),
+        jnp.concatenate([jnp.ones((1,), base.steps.dtype), base.steps]),
+        (a,) + tuple(base.nums),
+        jnp.concatenate([t.outputs for t in tables], axis=0),
+        jnp.concatenate([t.valid for t in tables], axis=0))
+
+
 class NNTable(NamedTuple):
     """Irregular table for brute-force nearest-neighbor lookup (the KDTree
     replacement). Queries use the matmul distance trick on the MXU."""

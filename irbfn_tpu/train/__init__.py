@@ -17,6 +17,8 @@ from irbfn_tpu.train.trainer import (
     frenet_fullint_loss,
     frenet_oneint_loss,
     make_train_step,
+    mirror_cartesian_table,
+    region_spec_from_table,
     mirror_frenet_table,
     train_epochs,
 )
@@ -25,6 +27,8 @@ __all__ = [
     "input_bounds_from_config", "load_config", "load_model", "restore_params", "save_checkpoint",
     "save_config", "StepMetrics", "TrainState", "cartesian_fullint_loss",
     "cluster_fullint_loss", "create_train_state", "frenet_fullint_loss",
-    "frenet_oneint_loss", "make_train_step", "mirror_frenet_table",
+    "frenet_oneint_loss", "make_train_step", "mirror_cartesian_table",
+    "region_spec_from_table",
+    "mirror_frenet_table",
     "train_epochs",
 ]

@@ -79,6 +79,51 @@ def mirror_frenet_table(inputs: np.ndarray, outputs: np.ndarray,
             np.concatenate([outputs, out_m], axis=0))
 
 
+def region_spec_from_table(inputs: np.ndarray, splits, num_overlap: int = 1):
+    """Region bounds from the unique grid values per dim, split into
+    ``splits[d]`` contiguous segments (train_nmpc_frenet.py:114-199), with
+    neighbouring segments overlapping by ``num_overlap`` grid values (the
+    IROS pipeline's stride-tricks overlap, deprecated/train.py:76-113) —
+    hard seams make independently-fitted region banks disagree across the
+    boundary, which shows up as control oscillation exactly at the seam in
+    closed loop.
+
+    Also returns per-dim gate sharpness ``delta`` sized to the grid: the
+    tanh transition width is ~half a grid step (4/step), so neighbouring
+    regions blend over one cell instead of snapping."""
+    import itertools
+
+    from irbfn_tpu.models.wcrbf import overlapping_segments
+
+    lower_bounds, upper_bounds, deltas = [], [], []
+    for d, n_seg in enumerate(splits):
+        vals = np.sort(np.unique(inputs[:, d]))
+        lo, hi = overlapping_segments(vals, n_seg, num_overlap=num_overlap)
+        lower_bounds.append(lo)
+        upper_bounds.append(hi)
+        step = (np.median(np.diff(vals)) if len(vals) > 1 else 1.0)
+        deltas.append(float(np.clip(4.0 / max(step, 1e-9), 1.0, 100.0)))
+    dimension_ranges = [list(t) for t in itertools.product(
+        *[range(s) for s in splits])]
+    return lower_bounds, upper_bounds, dimension_ranges, deltas
+
+
+def mirror_cartesian_table(inputs: np.ndarray, outputs: np.ndarray):
+    """Cartesian mirror augmentation (train_nmpc.py:61-82): reflect the
+    goal/state across the car's x-axis. inputs (N, 7)
+    [v, x_g, y_g, t_g, v_g, beta, angv]; outputs (N, 2T) control block.
+
+    Unlike the frenet case there is no curvature subtlety — the reflection
+    (y, theta, beta, angv, steer-vel flip) is the single-track dynamics'
+    exact symmetry."""
+    T = outputs.shape[1] // 2
+    flip = np.array([1, 1, -1, -1, 1, -1, -1])
+    in_m = inputs * flip
+    out_m = np.concatenate([outputs[:, :T], -outputs[:, T:]], axis=1)
+    return (np.concatenate([inputs, in_m], axis=0),
+            np.concatenate([outputs, out_m], axis=0))
+
+
 def _frenet_rollout_rows(x: jnp.ndarray, u_seq: jnp.ndarray, dyn_params):
     """Assemble reference-ABI rows and integrate: x is the 8-dim table input
     [ey, delta, vx, vy, vx_goal, wz, epsi, curv]; u_seq is (B, 2T)."""

@@ -31,7 +31,8 @@ from irbfn_tpu.sim.track import interp_wrapped
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--planner", choices=["nmpc", "irbfn", "pursuit"],
+    p.add_argument("--planner",
+                   choices=["nmpc", "irbfn", "irbfn_cart", "pursuit"],
                    default="nmpc")
     p.add_argument("--config_f", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
@@ -74,6 +75,24 @@ def main():
             res = planner._plan_fn(planner._params, obs.s, obs.ey, obs.epsi,
                                    obs.delta, obs.linear_vel_x,
                                    obs.linear_vel_y, obs.ang_vel_z)
+            return jnp.stack([res.accel, res.steer_vel], axis=-1)
+    elif args.planner == "irbfn_cart":
+        # cartesian learned planner (reference IRBFNPlanner in
+        # run_irbfn_mpc_in_gym.ipynb): body-frame lookahead goal + mirror
+        from irbfn_tpu.planning import IRBFNPlanner
+        from irbfn_tpu.train import load_model
+
+        if not args.config_f:
+            raise SystemExit("--planner irbfn_cart requires --config_f/--ckpt")
+        model, params, conf = load_model(args.config_f, args.ckpt)
+        planner = IRBFNPlanner(model, {"params": params["params"]}, track,
+                               mirror=bool(conf.get("mirror", True)),
+                               sv_ind=conf["out_features"] // 2)
+
+        def policy(obs):
+            res = planner._plan_fn(planner._params, obs.pose_x, obs.pose_y,
+                                   obs.pose_theta, obs.delta,
+                                   obs.linear_vel_x, obs.beta, obs.ang_vel_z)
             return jnp.stack([res.accel, res.steer_vel], axis=-1)
     elif args.planner == "nmpc":
         solver_params = fullscale_params(dtype=jnp.float32)

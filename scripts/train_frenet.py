@@ -36,34 +36,11 @@ from irbfn_tpu.utils.profiling import MetricLogger
 DIMS = ["ey", "delta", "vx_car", "vy_car", "vx_goal", "wz", "epsi", "curv"]
 
 
-def region_spec_from_table(inputs: np.ndarray, splits: list,
-                           num_overlap: int = 1):
-    """Region bounds from the unique grid values per dim, split into
-    ``splits[d]`` contiguous segments (train_nmpc_frenet.py:114-199), with
-    neighbouring segments overlapping by ``num_overlap`` grid values (the
-    IROS pipeline's stride-tricks overlap, deprecated/train.py:76-113) —
-    hard seams make independently-fitted region banks disagree across the
-    boundary, which shows up as control oscillation exactly at the seam in
-    closed loop.
+def region_spec_from_table(inputs, splits, num_overlap: int = 1):
+    """Moved to irbfn_tpu.train.trainer (shared with train_cartesian.py)."""
+    from irbfn_tpu.train import region_spec_from_table as impl
 
-    Also returns per-dim gate sharpness ``delta`` sized to the grid: the
-    tanh transition width is ~half a grid step (4/step), so neighbouring
-    regions blend over one cell instead of snapping."""
-    lower_bounds, upper_bounds, deltas = [], [], []
-    from irbfn_tpu.models.wcrbf import overlapping_segments
-
-    for d, n_seg in enumerate(splits):
-        vals = np.sort(np.unique(inputs[:, d]))
-        lo, hi = overlapping_segments(vals, n_seg, num_overlap=num_overlap)
-        lower_bounds.append(lo)
-        upper_bounds.append(hi)
-        step = (np.median(np.diff(vals)) if len(vals) > 1 else 1.0)
-        deltas.append(float(np.clip(4.0 / max(step, 1e-9), 1.0, 100.0)))
-    import itertools
-
-    dimension_ranges = [list(t) for t in itertools.product(
-        *[range(s) for s in splits])]
-    return lower_bounds, upper_bounds, dimension_ranges, deltas
+    return impl(inputs, splits, num_overlap)
 
 
 def main():

@@ -291,3 +291,40 @@ def test_grid_lookup_linear_singleton_axis():
     want = 10.0 * q[:, :1] + 2.0  # singleton dim pinned at its grid value
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
     assert bool(jnp.all(valid))
+
+
+def test_stack_grid_tables_selects_arm_exactly():
+    """Stacked multi-arm table: an integer arm coordinate selects exactly
+    that arm's rows under both lookups, including the last arm, and arm
+    feasibility stays separated."""
+    from irbfn_tpu.planning.explicit import (grid_lookup, grid_lookup_linear,
+                                             grid_table_from_arrays,
+                                             stack_grid_tables)
+
+    xs = np.linspace(0.0, 1.0, 5)
+    ys = np.linspace(-1.0, 1.0, 3)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    inputs = np.stack([gx.reshape(-1), gy.reshape(-1)], -1).astype(np.float32)
+    tables = []
+    for k in range(3):  # arm k: f_k = k*100 + linear
+        out = (100.0 * k + 2.0 * inputs[:, :1] + inputs[:, 1:]).astype(
+            np.float32)
+        if k == 1:  # arm 1 has an infeasible row; others don't
+            out = out.copy()
+            out[0] = -999.0
+        tables.append(grid_table_from_arrays(inputs, out))
+    stacked = stack_grid_tables(tables)
+
+    q = np.asarray([[0.0, 0.3, 0.5], [1.0, 0.3, 0.5], [2.0, 0.3, 0.5],
+                    [2.0, 0.99, -0.99]], np.float32)
+    got, valid = grid_lookup_linear(stacked, jnp.asarray(q))
+    want = 100.0 * q[:, :1] + 2.0 * q[:, 1:2] + q[:, 2:]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+    assert bool(jnp.all(valid))
+    gn, _ = grid_lookup(stacked, jnp.asarray(q[:3]))
+    assert np.allclose(np.asarray(gn)[:, 0] // 100, [0, 1, 2])
+    # arm 1's infeasible corner doesn't leak into arms 0/2
+    q0 = np.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, -1.0], [2.0, 0.0, -1.0]],
+                    np.float32)
+    _, v0 = grid_lookup_linear(stacked, jnp.asarray(q0))
+    assert bool(v0[0]) and not bool(v0[1]) and bool(v0[2])
