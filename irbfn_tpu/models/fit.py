@@ -158,10 +158,29 @@ def _fit_direct_impl(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     return DirectFit(wb[:-1], wb[-1], centers, log_sigs, mode, scale_t)
 
 
+def device_table(x, y=None, chunk: int = 262144):
+    """Upload a (large) table to the device ONCE, zero-padded to a multiple
+    of ``chunk`` rows. Returns (x_dev, y_dev, n_rows).
+
+    Through a remote-TPU tunnel the host link is the scarce resource: the
+    streaming fitters below accept these resident arrays and move only
+    int32 row indices per chunk (~1 MB) instead of re-uploading rows
+    (~10 MB/chunk, and the per-region fit visits rows ~1.3x)."""
+    n = x.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    x_dev = jnp.asarray(np.pad(np.asarray(x, np.float32),
+                               ((0, n_pad - n), (0, 0))))
+    y_dev = (None if y is None else
+             jnp.asarray(np.pad(np.asarray(y, np.float32),
+                                ((0, n_pad - n), (0, 0)))))
+    return x_dev, y_dev, n
+
+
 def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
                    basis_func, reg: float = 1e-5, chunk: int = 65536,
                    input_scale=None, sample_weight=None,
-                   margin_steps: float = 2.0, grid_steps=None) -> DirectFit:
+                   margin_steps: float = 2.0, grid_steps=None,
+                   x_dev=None, y_dev=None) -> DirectFit:
     """Per-region output heads at shared-fit cost.
 
     The full ``mode="per_region"`` normal equations are (R*K+R)^2 — R^2 x
@@ -183,6 +202,10 @@ def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     (the tanh gate's tail width; ``grid_steps`` (D,) defaults to
     4/delta ~ one grid step). Total work ~= overlap_factor * N * K^2 — the
     same order as one shared fit.
+
+    Pass ``x_dev``/``y_dev`` from ``device_table`` for large tables behind
+    a slow host link: only int32 index chunks cross the link (rows are
+    gathered device-side); otherwise rows upload per chunk.
     """
     x_np = np.asarray(x)
     y_np = np.asarray(y)
@@ -195,14 +218,19 @@ def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     margin = margin_steps * np.asarray(grid_steps)
     sw_np = (None if sample_weight is None
              else np.asarray(sample_weight, np.float32))
+    resident = x_dev is not None
+    w_dev = None
+    if resident:
+        assert y_dev is not None
+        if sw_np is not None:
+            w_dev = jnp.asarray(np.pad(sw_np, (0, x_dev.shape[0] - len(sw_np))))
 
     lb_d, ub_d = jnp.asarray(lb_np), jnp.asarray(ub_np)
     delta_d = jnp.asarray(delta)
     act_t = tuple(act)
 
-    @partial(jax.jit, static_argnames=("r",))
-    def accumulate(xs, ys, ws, r):
-        # chunked weighted gram for one region: A = P^T diag(w) P with
+    def gram(xs, ys, ws, r):
+        # weighted gram for one region: A = P^T diag(w) P with
         # P = [phi_r, 1]; w = gamma_n_r * sample_weight
         with jax.default_matmul_precision("highest"):
             gamma = region_activation(xs, lb_d, ub_d, delta_d, act_t)
@@ -212,26 +240,54 @@ def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
             p1 = jnp.concatenate(
                 [basis_func(d[:, 0, :]),
                  jnp.ones((xs.shape[0], 1), xs.dtype)], axis=1)
-            w = gamma[:, r] * ws
+            w = (gamma[:, r] * ws).astype(xs.dtype)
             pw = p1 * w[:, None]
-            return pw.T @ p1, pw.T @ ys
+            return (pw.T @ p1).astype(jnp.float32), (pw.T @ ys).astype(jnp.float32)
+
+    @partial(jax.jit, static_argnames=("r",))
+    def accumulate(xs, ys, ws, r):
+        return gram(xs, ys, ws, r)
+
+    @partial(jax.jit, static_argnames=("r",))
+    def accumulate_gathered(A, b, idx, r):
+        # device-side row gather: idx (chunk,) int32, -1 = padding
+        safe = jnp.maximum(idx, 0)
+        xs = x_dev[safe]
+        ys = y_dev[safe]
+        ws = jnp.ones((idx.shape[0],), xs.dtype) if w_dev is None else w_dev[safe]
+        ws = jnp.where(idx >= 0, ws, 0.0)
+        Ab, bb = gram(xs, ys, ws, r)
+        return A + Ab, b + bb
 
     weights = np.zeros((R * K + R, O), np.float32)
     xa = x_np[:, act]
     for r in range(R):
         m = np.all((xa >= lb_np[r] - margin) & (xa <= ub_np[r] + margin),
                    axis=1)
-        xs_r, ys_r = x_np[m], y_np[m]
-        ws_r = (np.ones(xs_r.shape[0], np.float32) if sw_np is None
-                else sw_np[m])
-        A = np.zeros((K + 1, K + 1), np.float64)
-        b = np.zeros((K + 1, O), np.float64)
-        for i0 in range(0, xs_r.shape[0], chunk):
-            Ab, bb = accumulate(jnp.asarray(xs_r[i0:i0 + chunk]),
-                                jnp.asarray(ys_r[i0:i0 + chunk]),
-                                jnp.asarray(ws_r[i0:i0 + chunk]), r)
-            A += np.asarray(Ab, np.float64)
-            b += np.asarray(bb, np.float64)
+        if resident:
+            idx_all = np.nonzero(m)[0].astype(np.int32)
+            n_pad = ((len(idx_all) + chunk - 1) // chunk) * chunk
+            idx_all = np.pad(idx_all, (0, n_pad - len(idx_all)),
+                             constant_values=-1)
+            A = jnp.zeros((K + 1, K + 1), jnp.float32)
+            b = jnp.zeros((K + 1, O), jnp.float32)
+            for i0 in range(0, len(idx_all), chunk):
+                A, b = accumulate_gathered(
+                    A, b, jnp.asarray(idx_all[i0:i0 + chunk]), r)
+            A = np.asarray(A, np.float64)
+            b = np.asarray(b, np.float64)
+        else:
+            xs_r, ys_r = x_np[m], y_np[m]
+            ws_r = (np.ones(xs_r.shape[0], np.float32) if sw_np is None
+                    else sw_np[m])
+            A = np.zeros((K + 1, K + 1), np.float64)
+            b = np.zeros((K + 1, O), np.float64)
+            for i0 in range(0, xs_r.shape[0], chunk):
+                Ab, bb = accumulate(jnp.asarray(xs_r[i0:i0 + chunk]),
+                                    jnp.asarray(ys_r[i0:i0 + chunk]),
+                                    jnp.asarray(ws_r[i0:i0 + chunk]), r)
+                A += np.asarray(Ab, np.float64)
+                b += np.asarray(bb, np.float64)
         # host f64 solve with trace-relative ridge (see _fit_direct_impl)
         reg_eff = reg * np.trace(A) / (K + 1)
         sol = np.linalg.solve(A + reg_eff * np.eye(K + 1), b)
@@ -246,7 +302,8 @@ def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
 
 def tube_weights(x, tube, input_scale=None, bandwidth: float = 1.0,
                  floor: float = 0.05, chunk: int = 262144,
-                 max_tube: int = 2048, seed: int = 0) -> np.ndarray:
+                 max_tube: int = 2048, seed: int = 0,
+                 x_dev=None) -> np.ndarray:
     """Row weights from proximity to the closed-loop operating tube.
 
     ``tube`` (M, F) are net-input states visited by a planner that already
@@ -260,7 +317,9 @@ def tube_weights(x, tube, input_scale=None, bandwidth: float = 1.0,
     weight rarely-visited but critical states like the braking wall entry).
     ``floor`` keeps off-tube rows in the fit so the model still degrades
     gracefully off-raceline. Distances ride the MXU ((chunk, M) matmul);
-    weights return as host numpy for center sampling / row gathers."""
+    weights return as host numpy for center sampling / row gathers.
+    Pass ``x_dev`` (device_table) to keep the table device-resident —
+    only the (chunk,) result crosses the host link per chunk."""
     tube = np.asarray(tube, np.float32)
     if tube.shape[0] > max_tube:
         rng = np.random.default_rng(seed)
@@ -269,17 +328,26 @@ def tube_weights(x, tube, input_scale=None, bandwidth: float = 1.0,
          else np.asarray(input_scale, np.float32))
     t_d = jnp.asarray(tube * s)
 
-    @jax.jit
     def min_d2(xc):
         xs = xc * s
         d2 = (jnp.sum(xs * xs, -1, keepdims=True)
               - 2.0 * xs @ t_d.T + jnp.sum(t_d * t_d, -1))
         return jnp.min(d2, axis=-1)
 
-    x_np = np.asarray(x, np.float32)
-    out = np.empty(x_np.shape[0], np.float32)
-    for i0 in range(0, x_np.shape[0], chunk):
-        out[i0:i0 + chunk] = np.asarray(min_d2(jnp.asarray(x_np[i0:i0 + chunk])))
+    n = np.asarray(x).shape[0]
+    out = np.empty(n, np.float32)
+    if x_dev is not None:
+        sliced = jax.jit(lambda i0: min_d2(
+            jax.lax.dynamic_slice_in_dim(x_dev, i0, chunk)))
+        for i0 in range(0, x_dev.shape[0], chunk):
+            res = np.asarray(sliced(jnp.asarray(i0, jnp.int32)))
+            out[i0:i0 + chunk] = res[:max(0, min(chunk, n - i0))]
+    else:
+        x_np = np.asarray(x, np.float32)
+        jit_min_d2 = jax.jit(min_d2)
+        for i0 in range(0, n, chunk):
+            out[i0:i0 + chunk] = np.asarray(
+                jit_min_d2(jnp.asarray(x_np[i0:i0 + chunk])))
     return (floor + (1.0 - floor)
             * np.exp(-0.5 * np.maximum(out, 0.0) / bandwidth**2))
 

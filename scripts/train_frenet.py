@@ -139,12 +139,19 @@ def main():
         # the Adam path for table fitting
         import time
 
-        from irbfn_tpu.models.fit import (choose_centers, fit_direct,
-                                          fit_per_region, tube_weights)
+        from irbfn_tpu.models.fit import (choose_centers, device_table,
+                                          fit_direct, fit_per_region,
+                                          tube_weights)
         from irbfn_tpu.models.wcrbf import build_region_bounds
 
-        x = jnp.asarray(inputs, jnp.float32)
-        yv = jnp.asarray(outputs, jnp.float32)
+        # one upload: through the remote-TPU tunnel the host link is the
+        # bottleneck, so the table goes to HBM once and the tube weighting
+        # + per-region gram passes gather rows device-side
+        t0 = time.time()
+        x_dev, y_dev, _ = device_table(inputs, outputs)
+        x_dev.block_until_ready()
+        print(f"table resident on device in {time.time() - t0:.1f}s "
+              f"({(x_dev.nbytes + y_dev.nbytes) / 2**20:.0f} MB)")
         lb, ub = build_region_bounds(lower_bounds, upper_bounds,
                                      dimension_ranges, activation_idx)
         sample_weight = None
@@ -154,12 +161,13 @@ def main():
             sample_weight = tube_weights(inputs, tube,
                                          input_scale=input_scale,
                                          bandwidth=args.tube_bandwidth,
-                                         floor=args.tube_floor)
+                                         floor=args.tube_floor,
+                                         x_dev=x_dev)
             frac = float((sample_weight > 2 * args.tube_floor).mean())
             print(f"tube weights from {tube.shape[0]} visited states in "
                   f"{time.time() - t0:.1f}s; {100 * frac:.1f}% of rows "
                   "substantially weighted")
-        centers, log_sigs = choose_centers(x, num_kernels=args.num_k,
+        centers, log_sigs = choose_centers(inputs, num_kernels=args.num_k,
                                            num_regions=num_regions,
                                            seed=args.seed,
                                            input_scale=input_scale,
@@ -168,23 +176,24 @@ def main():
                                            probs=sample_weight)
         t0 = time.time()
         if args.fit_mode == "per_region":
-            fit = fit_per_region(x, yv, centers, log_sigs, jnp.asarray(lb),
-                                 jnp.asarray(ub), jnp.asarray(delta),
-                                 tuple(activation_idx),
+            fit = fit_per_region(inputs, outputs, centers, log_sigs,
+                                 jnp.asarray(lb), jnp.asarray(ub),
+                                 jnp.asarray(delta), tuple(activation_idx),
                                  get_basis(args.basis_function),
                                  input_scale=input_scale,
-                                 sample_weight=sample_weight)
+                                 sample_weight=sample_weight,
+                                 x_dev=x_dev, y_dev=y_dev)
         else:
-            fit = fit_direct(x, yv, centers, log_sigs, jnp.asarray(lb),
-                             jnp.asarray(ub), jnp.asarray(delta),
-                             tuple(activation_idx),
+            fit = fit_direct(inputs, outputs, centers, log_sigs,
+                             jnp.asarray(lb), jnp.asarray(ub),
+                             jnp.asarray(delta), tuple(activation_idx),
                              get_basis(args.basis_function),
                              input_scale=input_scale,
                              sample_weight=sample_weight)
-        pred = fit.predict(x[:100000], jnp.asarray(lb), jnp.asarray(ub),
+        pred = fit.predict(x_dev[:100000], jnp.asarray(lb), jnp.asarray(ub),
                            jnp.asarray(delta), tuple(activation_idx),
                            get_basis(args.basis_function))
-        l1 = float(jnp.abs(pred - yv[:100000]).mean())
+        l1 = float(jnp.abs(pred - y_dev[:100000]).mean())
         print(f"direct fit in {time.time() - t0:.1f}s; control L1 {l1:.4f}")
         # install into the WCRBFNet parameter tree so planners load it
         params = dict(state.params["params"])

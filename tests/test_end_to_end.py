@@ -212,3 +212,42 @@ def test_tube_weights_and_weighted_fit():
     err_w = float(jnp.abs(pred_w - y[near]).mean())
     err_u = float(jnp.abs(pred_u - y[near]).mean())
     assert err_w < err_u, (err_w, err_u)
+
+
+def test_device_resident_fit_matches_host_path():
+    """device_table + index-gather fit_per_region / tube_weights ==
+    the host-upload path (predictions; the ill-conditioned gram means raw
+    weights differ benignly with accumulation precision)."""
+    from irbfn_tpu.models.fit import (device_table, fit_per_region,
+                                      tube_weights)
+    from irbfn_tpu.models.wcrbf import overlapping_segments
+
+    xs = np.linspace(-1.0, 1.0, 41)
+    zs = np.linspace(-1.0, 1.0, 9)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    x = np.stack([gx.reshape(-1), gz.reshape(-1)], -1).astype(np.float32)
+    y = (np.where(x[:, :1] > 0, 2.0, -2.0) + 0.3 * x[:, 1:]).astype(np.float32)
+    lo, hi = overlapping_segments(xs, 2, num_overlap=1)
+    lb, ub = jnp.asarray([[v] for v in lo]), jnp.asarray([[v] for v in hi])
+    delta = jnp.asarray([4.0 / (xs[1] - xs[0])])
+    basis = get_basis("gaussian")
+    c, ls = choose_centers(x, 24, 2, seed=1, lb=lb, ub=ub,
+                           activation_idx=(0,))
+    tube = x[np.abs(x[:, 1]) < 0.1]
+    w = tube_weights(x, tube, bandwidth=0.2, floor=0.05, chunk=64)
+    x_dev, y_dev, _ = device_table(x, y, chunk=64)
+    w2 = tube_weights(x, tube, bandwidth=0.2, floor=0.05, chunk=64,
+                      x_dev=x_dev)
+    np.testing.assert_allclose(w, w2, rtol=1e-5, atol=1e-6)
+    f_host = fit_per_region(x, y, c, ls, lb, ub, delta, (0,), basis,
+                            chunk=64, sample_weight=w)
+    f_dev = fit_per_region(x, y, c, ls, lb, ub, delta, (0,), basis,
+                           chunk=64, sample_weight=w,
+                           x_dev=x_dev, y_dev=y_dev)
+    p_host = f_host.predict(jnp.asarray(x), lb, ub, delta, (0,), basis)
+    p_dev = f_dev.predict(jnp.asarray(x), lb, ub, delta, (0,), basis)
+    np.testing.assert_allclose(np.asarray(p_dev), np.asarray(p_host),
+                               atol=0.05)
+    err_h = float(jnp.abs(p_host - y).mean())
+    err_d = float(jnp.abs(p_dev - y).mean())
+    assert err_d < 1.3 * err_h + 1e-3

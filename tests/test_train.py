@@ -129,3 +129,51 @@ def test_config_roundtrip(tmp_path):
     x, _ = _batch(2)
     p = model.init(jax.random.PRNGKey(0), x)
     assert model.apply(p, x).shape == (2, 10)
+
+
+def test_mirror_cartesian_table_exact_symmetry():
+    """The cartesian mirror is the ST dynamics' exact reflection: rolling
+    out the mirrored controls from the mirrored initial state produces the
+    mirrored trajectory."""
+    import jax.numpy as jnp
+
+    from irbfn_tpu.dynamics.params import f1tenth_params
+    from irbfn_tpu.dynamics.single_track import rollout
+    from irbfn_tpu.train import mirror_cartesian_table
+
+    rng = np.random.default_rng(5)
+    n = 16
+    inputs = np.column_stack([
+        rng.uniform(1.0, 6.0, n),    # v
+        rng.uniform(0.5, 3.0, n),    # x_g
+        rng.uniform(-2.0, 2.0, n),   # y_g
+        rng.uniform(-1.0, 1.0, n),   # t_g
+        rng.uniform(1.0, 6.0, n),    # v_g
+        rng.uniform(-0.3, 0.3, n),   # beta
+        rng.uniform(-1.0, 1.0, n),   # angv
+    ]).astype(np.float32)
+    outputs = rng.uniform(-2.0, 2.0, (n, 10)).astype(np.float32)
+    in_all, out_all = mirror_cartesian_table(inputs, outputs)
+    assert in_all.shape == (2 * n, 7) and out_all.shape == (2 * n, 10)
+
+    p = f1tenth_params()
+
+    def roll(x_in, u_blk):
+        # start at origin, heading 0, with the table's (v, beta, angv)
+        x0 = jnp.stack([jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+                        jnp.asarray(x_in[:, 0]), jnp.zeros(n),
+                        jnp.asarray(x_in[:, 6]), jnp.asarray(x_in[:, 5])],
+                       axis=-1)
+        u = jnp.stack([jnp.asarray(u_blk[:, :5]),
+                       jnp.asarray(u_blk[:, 5:])], axis=-1)
+        return rollout(x0, u, p)
+
+    base = np.asarray(roll(inputs, outputs))
+    mirr = np.asarray(roll(in_all[n:], out_all[n:]))
+    # y, psi, psidot, beta flip; x, delta, v match
+    np.testing.assert_allclose(mirr[..., 1], -base[..., 1], atol=1e-5)
+    np.testing.assert_allclose(mirr[..., 4], -base[..., 4], atol=1e-5)
+    np.testing.assert_allclose(mirr[..., 5], -base[..., 5], atol=1e-5)
+    np.testing.assert_allclose(mirr[..., 6], -base[..., 6], atol=1e-5)
+    np.testing.assert_allclose(mirr[..., 0], base[..., 0], atol=1e-5)
+    np.testing.assert_allclose(mirr[..., 3], base[..., 3], atol=1e-5)
