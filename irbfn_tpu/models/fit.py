@@ -248,19 +248,25 @@ def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     def accumulate(xs, ys, ws, r):
         return gram(xs, ys, ws, r)
 
-    @partial(jax.jit, static_argnames=("r",))
-    def accumulate_gathered(A, b, idx, r):
+    # big arrays as explicit jit args, not closure constants (see
+    # tube_weights note)
+    @partial(jax.jit, static_argnames=("r", "has_w"))
+    def accumulate_gathered(A, b, xd, yd, wd, idx, r, has_w):
         # device-side row gather: idx (chunk,) int32, -1 = padding
         safe = jnp.maximum(idx, 0)
-        xs = x_dev[safe]
-        ys = y_dev[safe]
-        ws = jnp.ones((idx.shape[0],), xs.dtype) if w_dev is None else w_dev[safe]
+        xs = xd[safe]
+        ys = yd[safe]
+        ws = wd[safe] if has_w else jnp.ones((idx.shape[0],), xs.dtype)
         ws = jnp.where(idx >= 0, ws, 0.0)
         Ab, bb = gram(xs, ys, ws, r)
         return A + Ab, b + bb
 
     weights = np.zeros((R * K + R, O), np.float32)
     xa = x_np[:, act]
+    if resident and w_dev is None:
+        w_dev_or_dummy = jnp.ones((x_dev.shape[0],), jnp.float32)
+    else:
+        w_dev_or_dummy = w_dev
     for r in range(R):
         m = np.all((xa >= lb_np[r] - margin) & (xa <= ub_np[r] + margin),
                    axis=1)
@@ -273,7 +279,9 @@ def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
             b = jnp.zeros((K + 1, O), jnp.float32)
             for i0 in range(0, len(idx_all), chunk):
                 A, b = accumulate_gathered(
-                    A, b, jnp.asarray(idx_all[i0:i0 + chunk]), r)
+                    A, b, x_dev, y_dev, w_dev_or_dummy,
+                    jnp.asarray(idx_all[i0:i0 + chunk]), r,
+                    w_dev is not None)
             A = np.asarray(A, np.float64)
             b = np.asarray(b, np.float64)
         else:
@@ -293,6 +301,9 @@ def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
         sol = np.linalg.solve(A + reg_eff * np.eye(K + 1), b)
         weights[r * K:(r + 1) * K] = sol[:-1]
         weights[R * K + r] = sol[-1]
+        if resident:
+            print(f"fit_per_region: region {r + 1}/{R} "
+                  f"({int(m.sum()):,} rows)", flush=True)
 
     scale_t = (None if input_scale is None
                else tuple(float(v) for v in np.asarray(input_scale)))
@@ -328,26 +339,48 @@ def tube_weights(x, tube, input_scale=None, bandwidth: float = 1.0,
          else np.asarray(input_scale, np.float32))
     t_d = jnp.asarray(tube * s)
 
-    def min_d2(xc):
-        xs = xc * s
+    s_d = jnp.asarray(s)
+
+    # NOTE: the big arrays are explicit jit ARGUMENTS, never closure
+    # captures — a closed-over concrete array becomes a jaxpr constant,
+    # which for a GB-scale table is pathological (embedded in the program
+    # instead of referenced as a device buffer).
+    def min_d2(xc, t, sc):
+        xs = xc * sc
         d2 = (jnp.sum(xs * xs, -1, keepdims=True)
-              - 2.0 * xs @ t_d.T + jnp.sum(t_d * t_d, -1))
+              - 2.0 * xs @ t.T + jnp.sum(t * t, -1))
         return jnp.min(d2, axis=-1)
 
     n = np.asarray(x).shape[0]
     out = np.empty(n, np.float32)
     if x_dev is not None:
-        sliced = jax.jit(lambda i0: min_d2(
-            jax.lax.dynamic_slice_in_dim(x_dev, i0, chunk)))
-        for i0 in range(0, x_dev.shape[0], chunk):
-            res = np.asarray(sliced(jnp.asarray(i0, jnp.int32)))
-            out[i0:i0 + chunk] = res[:max(0, min(chunk, n - i0))]
+        @partial(jax.jit, static_argnames=("c",))
+        def sliced(xd, t, sc, i0, c):
+            return min_d2(jax.lax.dynamic_slice_in_dim(xd, i0, c), t, sc)
+
+        import time
+
+        t0 = time.time()
+        nd = x_dev.shape[0]
+        n_chunks = -(-nd // chunk)
+        for ci, i0 in enumerate(range(0, nd, chunk)):
+            # dynamic_slice clamps the start index, so the tail window is
+            # [nd - chunk, nd): index the wanted rows at their offset
+            # within the clamped window instead of assuming offset 0
+            start = min(i0, max(nd - chunk, 0))
+            res = np.asarray(sliced(x_dev, t_d, s_d,
+                                    jnp.asarray(start, jnp.int32), chunk))
+            stop = min(i0 + chunk, n)
+            out[i0:stop] = res[i0 - start:i0 - start + (stop - i0)]
+            if ci == 0:
+                print(f"tube_weights: {n_chunks} chunks, first in "
+                      f"{time.time() - t0:.1f}s (incl. compile)", flush=True)
     else:
         x_np = np.asarray(x, np.float32)
         jit_min_d2 = jax.jit(min_d2)
         for i0 in range(0, n, chunk):
             out[i0:i0 + chunk] = np.asarray(
-                jit_min_d2(jnp.asarray(x_np[i0:i0 + chunk])))
+                jit_min_d2(jnp.asarray(x_np[i0:i0 + chunk]), t_d, s_d))
     return (floor + (1.0 - floor)
             * np.exp(-0.5 * np.maximum(out, 0.0) / bandwidth**2))
 

@@ -3,6 +3,13 @@
 Under the remote-compile TPU path a cold compile of the NMPC solver costs
 minutes; the persistent cache makes every process after the first start
 instantly. Called by all CLI entrypoints and bench.py.
+
+The cache is enabled ONLY for TPU-family backends by default: XLA:CPU
+persists AOT-compiled executables whose deserialization has been observed
+to segfault intermittently on this image (cpu_aot_loader machine-feature
+mismatches; two full-suite crashes in `jax/_src/compilation_cache.py:
+get_executable_and_time`), and CPU runs are test runs where a cold compile
+is merely slow. Set IRBFN_CPU_CACHE=1 to opt CPU runs in anyway.
 """
 
 from __future__ import annotations
@@ -13,6 +20,12 @@ import os
 def enable_compilation_cache(path: str | None = None):
     import jax
 
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend == "cpu" and not os.environ.get("IRBFN_CPU_CACHE"):
+        return None
     path = path or os.environ.get("IRBFN_COMPILE_CACHE",
                                   "/tmp/irbfn_jax_cache")
     os.makedirs(path, exist_ok=True)

@@ -24,9 +24,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compilation cache: the NMPC f64 programs dominate suite time
-# (several minutes of XLA:CPU compile each, worse since the horizon scan is
-# fully unrolled); caching makes warm suite runs minutes, not tens of them
+# NOTE: the persistent compilation cache is NOT enabled on CPU —
+# XLA:CPU AOT executable deserialization segfaulted two full suite runs
+# (see irbfn_tpu/utils/cache.py). Cold NMPC f64 compiles make the suite
+# slower but deterministic; opt back in with IRBFN_CPU_CACHE=1.
 from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
-enable_compilation_cache()
+enable_compilation_cache()  # no-op on CPU unless IRBFN_CPU_CACHE=1
