@@ -161,9 +161,14 @@ class TableSolution(NamedTuple):
     feasible: jnp.ndarray  # (...,) bool
 
     @classmethod
-    def from_solution(cls, sol) -> "TableSolution":
-        return cls(sol.accel, sol.steer_vel,
-                   sol.active_onehot.astype(jnp.bool_), sol.feasible)
+    def from_solution(cls, sol, include_onehot: bool = True) -> "TableSolution":
+        """``include_onehot=False`` drops the 86-wide activation pattern
+        (the dominant per-row payload) for tables that only feed lookup
+        planners — e.g. multi-mu bandit banks — where constraint clustering
+        is never run; ``frenet_table`` then omits ``constraints``."""
+        onehot = (sol.active_onehot.astype(jnp.bool_) if include_onehot
+                  else sol.active_onehot[..., :0].astype(jnp.bool_))
+        return cls(sol.accel, sol.steer_vel, onehot, sol.feasible)
 
 
 def frenet_table(rows, solution, n_constraints: int = 86) -> Dict[str, np.ndarray]:
@@ -177,10 +182,12 @@ def frenet_table(rows, solution, n_constraints: int = 86) -> Dict[str, np.ndarra
     onehot = np.asarray(solution.active_onehot)
     outputs = np.stack([accel, sv], axis=-1)
     outputs[~feas] = -999.0
-    constraints = onehot.astype(np.float64)
-    constraints[~feas] = -999.0
-    return {"inputs": np.asarray(rows), "outputs": outputs,
-            "constraints": constraints, "valid": feas}
+    table = {"inputs": np.asarray(rows), "outputs": outputs, "valid": feas}
+    if onehot.shape[-1]:
+        constraints = onehot.astype(np.float64)
+        constraints[~feas] = -999.0
+        table["constraints"] = constraints
+    return table
 
 
 def save_table(path: str, table: Dict[str, np.ndarray]):

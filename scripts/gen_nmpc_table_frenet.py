@@ -44,6 +44,11 @@ def main():
                         "only ~9%% of rows are flagged, re-solving them "
                         "4x harder costs ~1.4x total time while filling "
                         "false table holes")
+    p.add_argument("--skip_constraints", action="store_true",
+                   help="omit the 86-wide activation one-hot from the fetch"
+                        " and the npz — lookup-planner banks (multi-mu "
+                        "bandit arms) never run constraint clustering, and "
+                        "the one-hot dominates per-row link+disk bytes")
     args = p.parse_args()
 
     dims = ["ey", "delta", "vx_car", "vy_car", "vx_goal", "wz", "epsi", "curv"]
@@ -59,14 +64,15 @@ def main():
     # params enter as a traced operand so the whole mu sweep reuses ONE
     # compiled program (closure-captured params would recompile per mu);
     # only the table-relevant outputs are fetched (4x less host-link bytes)
+    keep_onehot = not args.skip_constraints
     solve = lambda r, pv: TableSolution.from_solution(  # noqa: E731
-        solve_lattice_point(r, pv, cfg))
+        solve_lattice_point(r, pv, cfg), include_onehot=keep_onehot)
     # straggler pass: same problem, bigger iteration budget (the AL/Newton
     # analogue of letting IPOPT run more iterations on hard rows)
     cfg_hard = NMPCConfig(gn_iters=cfg.gn_iters * max(args.resolve_factor, 1),
                           al_outer=cfg.al_outer + 2)
     solve_hard = lambda r, pv: TableSolution.from_solution(  # noqa: E731
-        solve_lattice_point(r, pv, cfg_hard))
+        solve_lattice_point(r, pv, cfg_hard), include_onehot=keep_onehot)
     for mu in mus[::-1]:
         params = fullscale_params(mu=float(mu), cs=args.cs)
         t0 = time.time()
