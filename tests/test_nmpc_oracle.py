@@ -17,7 +17,7 @@ from irbfn_tpu.solvers.oracle import compare_to_oracle
 @pytest.fixture(scope="module")
 def metrics():
     rng = np.random.default_rng(7)
-    n = 24
+    n = 100
     rows = np.column_stack([
         rng.uniform(-0.2, 2.0, n),   # ey
         rng.uniform(-0.3, 0.3, n),   # delta
@@ -37,24 +37,26 @@ def test_feasible_set_overlap(metrics):
     oracle solves (tuned iteration budget), but must never claim feasible
     where the oracle proves the problem solvable yet finds the AL point
     badly suboptimal — and it must catch most of the oracle-feasible set."""
-    assert metrics["oracle_feasible"] >= 0.8 * metrics["n_rows"]
+    assert metrics["oracle_feasible"] >= 0.9 * metrics["n_rows"]
     assert (metrics["both_feasible"]
-            >= 0.75 * metrics["oracle_feasible"])
+            >= 0.9 * metrics["oracle_feasible"])
     # AL never claims feasibility on rows the oracle rejects outright
+    # (200-row study: 2/200 the other way — scripts/eval_nmpc_oracle.py)
     assert metrics["oracle_misses_al_feasible"] <= max(
-        1, metrics["n_rows"] // 12)
+        1, metrics["n_rows"] // 33)
 
 
 def test_objective_agreement(metrics):
     """On commonly-feasible rows the AL solver reaches the oracle's
-    objective: median gap at solver precision, p90 within 1% (allows an
-    occasional distinct-local-minimum row on this nonconvex problem)."""
-    assert metrics["rel_obj_gap_p50"] < 1e-8
-    assert metrics["rel_obj_gap_p90"] < 1e-2
+    objective: median gap at solver precision, p90 within 0.01% (allows an
+    occasional distinct-local-minimum row on this nonconvex problem;
+    200-row study measured p50 ~-2e-15, p90 ~0)."""
+    assert metrics["rel_obj_gap_p50"] < 1e-10
+    assert metrics["rel_obj_gap_p90"] < 1e-4
 
 
 def test_control_agreement(metrics):
     """Typical control agreement is tight (the BASELINE 'control drift'
-    claim now has an external anchor)."""
-    assert metrics["du_max_p50"] < 1e-3
+    claim now has an external anchor; 200-row study p50 3e-6)."""
+    assert metrics["du_max_p50"] < 1e-4
     assert metrics["du_rel_p90"] < 5e-2
