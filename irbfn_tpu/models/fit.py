@@ -424,10 +424,19 @@ def choose_centers(x, num_kernels: int, num_regions: int, seed: int = 0,
             if m.any():
                 pool = x_np[m]
                 p_pool = None if p_all is None else p_all[m]
-        if p_pool is not None:
-            p_pool = p_pool / p_pool.sum()
-        idx = rng.choice(pool.shape[0], size=num_kernels,
-                         replace=pool.shape[0] < num_kernels, p=p_pool)
+        n_pool = pool.shape[0]
+        if n_pool < num_kernels:
+            idx = rng.choice(n_pool, size=num_kernels, replace=True,
+                             p=None if p_pool is None
+                             else p_pool / p_pool.sum())
+        elif p_pool is None:
+            idx = rng.choice(n_pool, size=num_kernels, replace=False)
+        else:
+            # Gumbel-top-k = weighted sampling WITHOUT replacement in O(N).
+            # numpy's choice(replace=False, p=...) is O(size*N) iterative
+            # renormalization — ~minutes/region on a 20M-row table.
+            g = np.log(np.maximum(p_pool, 1e-300)) + rng.gumbel(size=n_pool)
+            idx = np.argpartition(g, n_pool - num_kernels)[-num_kernels:]
         centers[r] = (pool[idx]
                       + jitter * rng.standard_normal((num_kernels, F)))
     log_sigs = np.zeros((num_regions, num_kernels))

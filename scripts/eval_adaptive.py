@@ -103,14 +103,22 @@ def main():
             return jnp.where(valid[..., None], act, brake)
         return policy
 
-    def run_round(arms, key):
-        arm_b = jnp.asarray(arms, jnp.float32)
+    # ONE jitted round for the whole experiment: the arm assignment enters
+    # as a traced ARGUMENT (a per-episode policy closure would embed arm_b
+    # as a compile-time constant — a fresh XLA program per episode, which
+    # through the remote-TPU tunnel means minutes of recompile each)
+    @jax.jit
+    def _round_dev(arm_b, key):
         final, _ = env.rollout(
             env.reset(s0=jnp.zeros(B), speed0=1.0, key=key,
                       noise_scale=args.noise_scale, batch_shape=(B,)),
             make_policy(arm_b), n_steps=args.n_steps)
+        return final.s
+
+    def run_round(arms, key):
+        s_final = _round_dev(jnp.asarray(arms, jnp.float32), key)
         # reward: lap progress fraction (crash freezes s); ~1.0 = full lap
-        prog = np.asarray(final.s) / float(rl.length)
+        prog = np.asarray(s_final) / float(rl.length)
         return np.clip(prog, 0.0, 1.0)
 
     key = jax.random.PRNGKey(args.seed)
