@@ -190,18 +190,37 @@ def main():
                              get_basis(args.basis_function),
                              input_scale=input_scale,
                              sample_weight=sample_weight)
-        pred = fit.predict(x_dev[:100000], jnp.asarray(lb), jnp.asarray(ub),
-                           jnp.asarray(delta), tuple(activation_idx),
-                           get_basis(args.basis_function))
-        l1 = float(jnp.abs(pred - y_dev[:100000]).mean())
-        print(f"direct fit in {time.time() - t0:.1f}s; control L1 {l1:.4f}")
-        # install into the WCRBFNet parameter tree so planners load it
+        print(f"direct fit in {time.time() - t0:.1f}s")
+        # install into the WCRBFNet parameter tree so planners load it —
+        # and CHECKPOINT BEFORE the L1 probe: a 90-minute fit of a GB-scale
+        # table must not be lost to an OOM in the diagnostics (the probe
+        # once died in exactly that way: (100k, R, K) per-region feature
+        # intermediates on top of the resident table)
         params = dict(state.params["params"])
         params["core"] = {"centers": fit.centers, "log_sigs": fit.log_sigs}
         params["head"] = {"kernel": fit.weights, "bias": fit.bias}
         state = state.replace(params={"params": params})
         save_checkpoint(ckpt_dir, state, step=0)
         print(f"checkpoint at {ckpt_dir}")
+        # strided true-row indices: x_dev is zero-PADDED to a chunk multiple
+        # (models/fit.py:device_table), so plain slices would average padding
+        # rows into the L1 (seen once as "8,192 strided rows" on a 352-row
+        # verify table)
+        n_rows = inputs.shape[0]
+        n_probe = min(65536, n_rows)
+        stride = max(n_rows // n_probe, 1)  # spread over the lattice
+        idx_all = np.arange(0, n_rows, stride)[:n_probe]
+        l1_sum, n_seen = 0.0, 0
+        for i0 in range(0, idx_all.size, 8192):
+            idx = jnp.asarray(idx_all[i0:i0 + 8192])
+            pred = fit.predict(x_dev[idx], jnp.asarray(lb),
+                               jnp.asarray(ub), jnp.asarray(delta),
+                               tuple(activation_idx),
+                               get_basis(args.basis_function))
+            l1_sum += float(jnp.abs(pred - y_dev[idx]).sum())
+            n_seen += int(idx.size)
+        l1 = l1_sum / (n_seen * outputs.shape[1])
+        print(f"control L1 {l1:.4f} (on {n_seen:,} strided rows)")
         if args.finetune_epochs <= 0:
             return
         # SGD fine-tune from the closed-form warm start with the
