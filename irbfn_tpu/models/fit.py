@@ -439,11 +439,26 @@ def choose_centers(x, num_kernels: int, num_regions: int, seed: int = 0,
             idx = np.argpartition(g, n_pool - num_kernels)[-num_kernels:]
         centers[r] = (pool[idx]
                       + jitter * rng.standard_normal((num_kernels, F)))
-    log_sigs = np.zeros((num_regions, num_kernels))
-    for r in range(num_regions):
+    log_sigs = widths_from_centers(centers, input_scale=input_scale,
+                                   width_neighbors=width_neighbors,
+                                   width_factor=width_factor)
+    return jnp.asarray(centers, x.dtype), jnp.asarray(log_sigs, x.dtype)
+
+
+def widths_from_centers(centers, input_scale=None, width_neighbors: int = 4,
+                        width_factor: float = 2.0) -> np.ndarray:
+    """Nearest-neighbor RBF widths for GIVEN (R, K, F) centers — the same
+    recipe ``choose_centers`` applies to sampled ones. Used for externally
+    supplied center banks (e.g. constraint-cluster warm starts,
+    nmpc_constraint_regions.ipynb -> irbfn_planner.py:258-261)."""
+    centers = np.asarray(centers)
+    R, K, F = centers.shape
+    s = np.ones(F) if input_scale is None else np.asarray(input_scale)
+    log_sigs = np.zeros((R, K))
+    for r in range(R):
         cs = centers[r] * s
         d = np.linalg.norm(cs[:, None] - cs[None], axis=-1)
         d.sort(axis=1)
         k = min(width_neighbors, d.shape[1] - 1)
         log_sigs[r] = np.log(np.maximum(width_factor * d[:, k], 1e-6))
-    return jnp.asarray(centers, x.dtype), jnp.asarray(log_sigs, x.dtype)
+    return log_sigs

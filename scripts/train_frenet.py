@@ -74,6 +74,9 @@ def main():
         cdata = np.load(args.npz_path[:-4] + args.centers_name +
                         args.npz_path[-4:])
         centers = cdata["centers"]
+        # the cluster bank IS the kernel budget (one kernel per top-k
+        # activation pattern, nmpc_constraint_regions.ipynb semantics)
+        args.num_k = int(centers.shape[0])
 
     # anisotropic RBF metric: normalize each input dim by its data std so
     # e.g. curvature (+-0.45) and velocity (1-8) contribute comparably to
@@ -167,13 +170,27 @@ def main():
             print(f"tube weights from {tube.shape[0]} visited states in "
                   f"{time.time() - t0:.1f}s; {100 * frac:.1f}% of rows "
                   "substantially weighted")
-        centers, log_sigs = choose_centers(inputs, num_kernels=args.num_k,
-                                           num_regions=num_regions,
-                                           seed=args.seed,
-                                           input_scale=input_scale,
-                                           lb=lb, ub=ub,
-                                           activation_idx=activation_idx,
-                                           probs=sample_weight)
+        if centers is not None:
+            # constraint-cluster warm starts (--use_centers): every region
+            # shares the top-k activation-pattern mode centers; widths from
+            # the same nearest-neighbor recipe choose_centers uses
+            from irbfn_tpu.models.fit import widths_from_centers
+
+            c_np = np.broadcast_to(
+                np.asarray(centers, np.float32),
+                (num_regions,) + np.asarray(centers).shape).copy()
+            centers = jnp.asarray(c_np)
+            log_sigs = jnp.asarray(
+                widths_from_centers(c_np, input_scale=input_scale),
+                jnp.float32)
+        else:
+            centers, log_sigs = choose_centers(inputs, num_kernels=args.num_k,
+                                               num_regions=num_regions,
+                                               seed=args.seed,
+                                               input_scale=input_scale,
+                                               lb=lb, ub=ub,
+                                               activation_idx=activation_idx,
+                                               probs=sample_weight)
         t0 = time.time()
         if args.fit_mode == "per_region":
             fit = fit_per_region(inputs, outputs, centers, log_sigs,
