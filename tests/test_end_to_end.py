@@ -123,6 +123,34 @@ def test_direct_fit_per_region_mode(table):
     assert float(jnp.abs(pred - y).mean()) < 0.05
 
 
+def test_fit_with_external_cluster_centers(table):
+    """The --use_centers direct-fit path: an externally supplied shared
+    (K, F) center bank (constraint-cluster warm starts,
+    nmpc_constraint_regions.ipynb -> irbfn_planner.py:258-261) broadcast
+    per region with widths_from_centers widths interpolates the table."""
+    from irbfn_tpu.models.fit import widths_from_centers
+
+    goals, params = table
+    x = jnp.asarray(goals)
+    y = jnp.asarray(params)
+    rng = np.random.default_rng(3)
+    bank = np.asarray(goals)[rng.choice(goals.shape[0], 96, replace=False)]
+    c_np = np.broadcast_to(bank.astype(np.float32), (1,) + bank.shape).copy()
+    log_sigs = widths_from_centers(c_np)
+    # widths follow center spacing: scaling the bank 2x shifts log_sig
+    # by exactly log(2) (nearest-neighbor distances scale linearly)
+    np.testing.assert_allclose(widths_from_centers(2.0 * c_np),
+                               log_sigs + np.log(2.0), rtol=1e-6)
+    lb = jnp.asarray([[goals[:, 0].min() - 1.0]])
+    ub = jnp.asarray([[goals[:, 0].max() + 1.0]])
+    delta = jnp.asarray([5.0])
+    fit = fit_direct(x, y, jnp.asarray(c_np), jnp.asarray(log_sigs),
+                     lb, ub, delta, (0,), get_basis("gaussian"),
+                     reg=1e-8, chunk=1024)
+    pred = fit.predict(x, lb, ub, delta, (0,), get_basis("gaussian"))
+    assert float(jnp.abs(pred - y).mean()) < 0.05
+
+
 def test_per_region_fit_matches_model_and_beats_shared():
     """fit_per_region (R independent local solves) loads into a
     WCRBFNet(head_mode='per_region') head exactly, and on a target with a
