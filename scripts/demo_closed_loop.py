@@ -129,7 +129,13 @@ def main():
     print(f"laps {int(final.laps[0])}  progress {float(final.s[0]):.1f} m  "
           f"mean|ey| {float(ey_mean[0]):.3f} m  "
           f"mean|epsi| {float(epsi_mean[0]):.3f} rad  [{status}]")
-    plot_episode(track, traj, path=args.out)
+    if args.out.endswith(".gif"):
+        from irbfn_tpu.sim.render import animate_episode
+
+        animate_episode(track, traj, path=args.out, stride=2,
+                        occ_map=getattr(env, "occ_map", None))
+    else:
+        plot_episode(track, traj, path=args.out)
     print(f"saved {args.out}")
 
 

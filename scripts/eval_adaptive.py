@@ -51,6 +51,10 @@ def main():
     p.add_argument("--episodes", type=int, default=20)
     p.add_argument("--n_steps", type=int, default=600)
     p.add_argument("--gamma", type=float, default=0.3)
+    p.add_argument("--prog_norm", type=float, default=1.0,
+                   help="laps of progress that count as reward 1.0; >1 makes "
+                        "the reward pace-aware (fast arms separate from "
+                        "slow ones instead of all saturating at one lap)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--noise_scale", type=float, default=0.01)
     p.add_argument("--horizon_time", type=float, default=0.5)
@@ -117,9 +121,11 @@ def main():
 
     def run_round(arms, key):
         s_final = _round_dev(jnp.asarray(arms, jnp.float32), key)
-        # reward: lap progress fraction (crash freezes s); ~1.0 = full lap
+        # reward: lap progress fraction (crash freezes s; laps don't — the
+        # env only freezes on collision, so s keeps unwrapping past one lap
+        # and prog_norm>1 rewards pace, not just survival)
         prog = np.asarray(s_final) / float(rl.length)
-        return np.clip(prog, 0.0, 1.0)
+        return np.clip(prog / args.prog_norm, 0.0, 1.0)
 
     key = jax.random.PRNGKey(args.seed)
 
