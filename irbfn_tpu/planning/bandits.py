@@ -10,7 +10,7 @@ object API.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,13 +41,29 @@ def exp3_pull(state: EXP3State, key) -> tuple:
     return arm, state._replace(last_probs=probs)
 
 
-def exp3_update(state: EXP3State, arm, reward, rew_scale: float = 0.5) -> EXP3State:
-    """Exponential weight update with sigmoid-squashed reward
-    (reference bandits.py:3-5, 25-31)."""
+def exp3_update(state: EXP3State, arm, reward,
+                rew_scale: Optional[float] = 0.5) -> EXP3State:
+    """Exponential weight update (reference bandits.py:3-5, 25-31).
+
+    ``rew_scale`` selects the reward map. The reference squashes through
+    ``sigmoid(rew_scale * r)`` so unbounded scores land in (0, 1) — kept as
+    the default for parity. But for rewards ALREADY normalized to [0, 1]
+    (e.g. lap-progress fractions) the sigmoid maps the whole range into
+    [0.5, 0.62]: a 0.5 reward gap shrinks to ~0.06 and the weights never
+    separate (measured: 40-episode runs stay within noise of uniform
+    pulls). Pass ``rew_scale=None`` to use the raw [0, 1] reward — the
+    standard EXP3 estimator with its regret guarantee intact.
+    """
     n = state.weights.shape[0]
-    r = jax.nn.sigmoid(jnp.clip(rew_scale * reward, -100.0, 100.0))
+    if rew_scale is None:
+        r = jnp.clip(reward, 0.0, 1.0)
+    else:
+        r = jax.nn.sigmoid(jnp.clip(rew_scale * reward, -100.0, 100.0))
     adj = jnp.where(jnp.arange(n) == arm, r / state.last_probs[arm], 0.0)
     weights = state.weights * jnp.exp(state.gamma * adj / n)
+    # renormalize to keep weights bounded over long runs (pure scaling —
+    # exp3_probs is invariant to it)
+    weights = weights / jnp.max(weights)
     return state._replace(weights=weights)
 
 
@@ -72,5 +88,6 @@ class EXP3:
         arm, self.state = exp3_pull(self.state, sub)
         return int(arm)
 
-    def update_dist(self, i: int, r: float, rew_scale: float = 0.5):
+    def update_dist(self, i: int, r: float,
+                    rew_scale: Optional[float] = 0.5):
         self.state = exp3_update(self.state, i, r, rew_scale)

@@ -58,6 +58,16 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--noise_scale", type=float, default=0.01)
     p.add_argument("--horizon_time", type=float, default=0.5)
+    p.add_argument("--speed_scales", type=float, nargs="+", default=None,
+                   help="per-arm raceline speed multiplier; default "
+                        "sqrt(arm_mu/max(arm_mus)) — grip-limited cornering "
+                        "speed scales with sqrt(mu), so each arm drives at "
+                        "the pace its solver-mu can actually hold. Without "
+                        "this every arm commands full raceline speed and "
+                        "ALL of them crash at low sim mu, making reward "
+                        "progress-before-crash noise")
+    p.add_argument("--baseline_rounds", type=int, default=3,
+                   help="rounds to average each fixed-arm baseline over")
     p.add_argument("--json_out", type=str, default="adaptive_results.json")
     args = p.parse_args()
 
@@ -69,6 +79,12 @@ def main():
     stacked = stack_grid_tables(tables)
     n_arms = len(tables)
     assert n_arms == len(args.arm_mus)
+    if args.speed_scales is None:
+        mu_ref = max(args.arm_mus)
+        args.speed_scales = [float(np.sqrt(m / mu_ref)) for m in args.arm_mus]
+    assert len(args.speed_scales) == n_arms
+    scales_arr = jnp.asarray(args.speed_scales, jnp.float32)
+    print("per-arm speed scales:", [f"{s:.3f}" for s in args.speed_scales])
 
     track, omap = load_track_bundle(args.map_dir)
     rl = track.raceline
@@ -93,6 +109,7 @@ def main():
             curv = interp_wrapped(rl.ss, rl.ks, obs.s, rl.length)
             vx_goal = horizon_goal_speed(rl, obs.s, obs.linear_vel_x,
                                          args.horizon_time)
+            vx_goal = vx_goal * jnp.take(scales_arr, arm_b.astype(jnp.int32))
             need_m = obs.ey < -0.05
             sign = jnp.where(need_m, -1.0, 1.0)
             q = jnp.stack([arm_b, sign * obs.ey, sign * obs.delta,
@@ -129,11 +146,13 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
 
-    # fixed-arm baselines: every arm over every combo
+    # fixed-arm baselines: every arm over every combo, averaged over rounds
     fixed = np.zeros((n_arms, B))
     for a in range(n_arms):
-        key, sub = jax.random.split(key)
-        fixed[a] = run_round(np.full(B, a), sub)
+        for _ in range(args.baseline_rounds):
+            key, sub = jax.random.split(key)
+            fixed[a] += run_round(np.full(B, a), sub)
+        fixed[a] /= args.baseline_rounds
         print(f"fixed arm mu={args.arm_mus[a]}: "
               + " ".join(f"{combos[i][0]:.1f}/{combos[i][1]:.0f}:"
                          f"{fixed[a, i]:.2f}" for i in range(B)))
@@ -146,12 +165,17 @@ def main():
         key, sub = jax.random.split(key)
         r = run_round(arms, sub)
         for i, b in enumerate(bandits):
-            b.update_dist(int(arms[i]), float(r[i]))
+            # rew_scale=None: rewards are already lap-progress fractions in
+            # [0, 1]; the reference's sigmoid squash would collapse the arm
+            # gap ~8x and the bandit never converges (see exp3_update)
+            b.update_dist(int(arms[i]), float(r[i]), rew_scale=None)
         pulls[ep], rewards[ep] = arms, r
         print(f"ep {ep:02d}: arms {arms.tolist()} rewards "
               + " ".join(f"{v:.2f}" for v in r))
 
     results = {"combos": combos, "arm_mus": args.arm_mus,
+               "speed_scales": args.speed_scales,
+               "baseline_rounds": args.baseline_rounds,
                "fixed_rewards": fixed.tolist(),
                "pulls": pulls.tolist(), "rewards": rewards.tolist()}
     half = args.episodes // 2

@@ -87,6 +87,25 @@ def test_exp3_converges_to_best_arm():
     assert np.argmax(bandit.weights) == 1
 
 
+def test_exp3_raw_rewards_converge_fast():
+    """rew_scale=None ([0,1] lap-progress rewards): the arm gap must
+    separate within the ~40 episodes a closed-loop adaptation run affords;
+    the sigmoid default provably cannot (gap shrinks ~8x)."""
+    bandit = EXP3(3, gamma=0.3, seed=0)
+    rewards = [0.70, 0.69, 0.23]  # measured fixed-arm profile at sim mu=0.6
+    rng = np.random.default_rng(2)
+    pulls = []
+    for _ in range(40):
+        arm = bandit.pull_arm()
+        pulls.append(arm)
+        r = np.clip(rewards[arm] + rng.normal(scale=0.02), 0.0, 1.0)
+        bandit.update_dist(arm, float(r), rew_scale=None)
+    late = np.asarray(pulls[-20:])
+    # the bad arm must be visibly suppressed late
+    assert (late == 2).mean() < 0.35
+    assert np.argmax(bandit.weights) != 2
+
+
 def test_exp3_reset():
     bandit = EXP3(4, gamma=0.2)
     bandit.pull_arm()
