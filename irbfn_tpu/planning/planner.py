@@ -129,7 +129,38 @@ class IRBFNPlanner:
                  dyn_params: Optional[VehicleParams] = None,
                  mirror: bool = False, sv_ind: int = 5,
                  horizon_time: float = 0.5, dtype=jnp.float32,
-                 use_pallas="auto"):
+                 use_pallas="auto", input_bounds=None,
+                 steer_mode: str = "setpoint", setpoint_frac: float = 0.4,
+                 setpoint_gain: float = 10.0, plan_dt: float = 0.1):
+        """``input_bounds``: optional (7, 2) per-dim [lo, hi] of the trained
+        grid; queries are clamped into it after mirroring. Without it, a
+        state outside EVERY region's bounds zeroes the WCRBF indicator and
+        the net outputs exactly 0 — measured closed-loop as a car frozen at
+        constant speed/steer circling forever once it first leaves the grid.
+
+        ``steer_mode``: how the plan's steer-rate sequence is executed.
+        The cartesian table (like the reference's 7-D lattice,
+        nmpc_data_generator.py:36-65) has NO delta input — every plan
+        assumes steering starts at 0 — so executing the raw first rate
+        (``"rate"``, the reference's plan() return) is an unstable feedback
+        law: in a steady corner every replan says "ramp delta up from 0",
+        the executed delta ratchets past the needed steady angle (measured
+        0.155 rad where ~0.04 holds the arc), and the car rings then spins;
+        replanning 10x faster does NOT fix it (the continuous-time law is
+        what's unstable — measured identical divergence at 100 Hz).
+        ``"setpoint"`` (default) instead integrates the plan's FULL rate
+        sequence into the delta profile the solver intended (from its
+        assumed 0), takes the profile value at ``setpoint_frac`` of the
+        horizon as a steer-ANGLE setpoint, and emits
+        ``sv = clip(gain * (setpoint - delta), +-sv_max)`` — delta feedback
+        with the solver's target, the same steer-angle+P-loop interface as
+        the gym's default action mode (dynamic_models.py:419-461). Measured
+        on the oval: rate mode 0 laps (spins at the first corner); setpoint
+        mode 4 laps, mean|ey| 0.028 m — NMPC-in-the-loop-level tracking.
+        ``plan_dt`` is the table's horizon step (0.1 s).
+        """
+        if steer_mode not in ("setpoint", "rate"):
+            raise ValueError(f"steer_mode {steer_mode!r}")
         self.track = track
         self.mirror = mirror
         self.sv_ind = sv_ind
@@ -137,6 +168,8 @@ class IRBFNPlanner:
         p = (dyn_params or f1tenth_params()).astype(dtype)
         rl = track.raceline
         apply_fn = _make_apply(model, params, use_pallas)
+        if input_bounds is not None:
+            input_bounds = jnp.asarray(input_bounds, dtype)
 
         @jax.jit
         def plan_fn(net_params, x, y, theta, delta, v, beta, angv):
@@ -147,13 +180,28 @@ class IRBFNPlanner:
             c, s = jnp.cos(-theta), jnp.sin(-theta)
             lx = c * dx - s * dy
             ly = s * dx + c * dy
+            # wrap to [-pi, pi]: theta accumulates over laps while the
+            # raceline yaw stays wrapped; the raw difference drifts by 2*pi
+            # per lap and walks the query off the t_goal axis
             ltheta = gtheta - theta
-            # mirror trick: reflect left-half goals (irbfn_planner.py:188-204)
-            need_m = ly < 0
+            ltheta = jnp.arctan2(jnp.sin(ltheta), jnp.cos(ltheta))
+            # mirror trick: reflect right-half goals onto the y>=0 half with
+            # the EXACT single-track symmetry — every lateral quantity flips
+            # (ly, ltheta, beta, angv; sv on the way out), matching
+            # mirror_cartesian_table. The reference instead maps theta
+            # through `% np.pi` and leaves beta/angv unflipped
+            # (irbfn_planner.py:188-204): a goal with a slightly-negative
+            # relative heading queries t_g ~ pi — the table's "goal behind
+            # you" row — measured closed-loop as a U-turn/brake at the first
+            # rightward deviation. Knowingly diverged (same class of fix as
+            # the frenet exact mirror).
+            need_m = ly < 0 if self.mirror else jnp.zeros_like(ly, bool)
             sign = jnp.where(need_m, -1.0, 1.0)
-            ly_m = sign * ly
-            lt_m = jnp.mod(sign * ltheta, jnp.pi)
-            net_in = jnp.stack([v, lx, ly_m, lt_m, gv, beta, angv], axis=-1)
+            net_in = jnp.stack([v, lx, sign * ly, sign * ltheta, gv,
+                                sign * beta, sign * angv], axis=-1)
+            if input_bounds is not None:
+                net_in = jnp.clip(net_in, input_bounds[:, 0],
+                                  input_bounds[:, 1])
             u = apply_fn(net_params, jnp.atleast_2d(net_in))
             u = jnp.reshape(u, net_in.shape[:-1] + (u.shape[-1],))
             u = u.astype(net_in.dtype)
@@ -169,8 +217,16 @@ class IRBFNPlanner:
             x0 = jnp.stack([x, y, delta, v, theta, angv, beta], axis=-1)
             states = st_rollout(x0, controls, p)
             goal = jnp.stack([gx, gy, gtheta, gv], axis=-1)
-            return PlanResult(u[..., 0], u[..., self.sv_ind], controls,
-                              states, goal)
+            if steer_mode == "setpoint":
+                # track the plan's implied steer-angle profile (see __init__)
+                d_prof = jnp.cumsum(controls[..., 1], axis=-1) * plan_dt
+                T = d_prof.shape[-1]
+                k = min(max(int(round(setpoint_frac * T)) - 1, 0), T - 1)
+                sv_exec = jnp.clip(setpoint_gain * (d_prof[..., k] - delta),
+                                   -p.sv_max, p.sv_max)
+            else:
+                sv_exec = u[..., self.sv_ind]
+            return PlanResult(u[..., 0], sv_exec, controls, states, goal)
 
         self._plan_fn = plan_fn
         self._params = params

@@ -20,6 +20,21 @@ import os
 def enable_compilation_cache(path: str | None = None):
     import jax
 
+    # honor an explicit JAX_PLATFORMS=cpu from the environment. The axon
+    # site hook re-registers its platform at import and wins the default
+    # resolution regardless of the env var (jax snapshots it before the
+    # hook runs), so a "CPU-forced" script still initializes the remote
+    # TPU backend — and hangs or dies with UNAVAILABLE whenever the
+    # tunnel is down (observed: $CPU-prefixed verify/demo runs crashing
+    # in apply_primitive -> axon init). jax.config.update after import is
+    # the only reliable override (same dance as tests/conftest.py).
+    env_plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if env_plat and "axon" not in env_plat:
+        try:
+            jax.config.update("jax_platforms", env_plat)
+        except Exception:
+            pass
+
     try:
         backend = jax.default_backend()
     except Exception:

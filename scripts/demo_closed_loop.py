@@ -44,6 +44,16 @@ def main():
                         "raceline csv); collision then uses the real map")
     p.add_argument("--speed_scale", type=float, default=1.0,
                    help="scale the raceline speed profile (map tracks)")
+    p.add_argument("--control_dt", type=float, default=0.1,
+                   help="replanning period [s]. The cartesian net (like the "
+                        "reference's 7-D table, nmpc_data_generator.py:36-65) "
+                        "has NO delta input — every plan assumes steering "
+                        "starts at 0 — so it is only stable when replanned "
+                        "fast enough that delta stays near 0 between plans. "
+                        "The reference runs it at the gym's 100 Hz physics "
+                        "rate (run_irbfn_mpc_in_gym.ipynb cell 11, one plan "
+                        "per 0.01 s step); at 10 Hz the uncorrected delta "
+                        "drift measurably rings the steering in corners")
     args = p.parse_args()
 
     if args.map_dir:
@@ -55,10 +65,12 @@ def main():
                                          * args.speed_scale)
             track = track._replace(raceline=rl)
         env = TrackEnv(track, f1tenth_params(dtype=jnp.float32),
-                       occ_map=omap, car_radius=0.15)
+                       occ_map=omap, car_radius=0.15,
+                       control_dt=args.control_dt)
     else:
         track = oval_track(n_samples=512, speed=args.speed)
-        env = TrackEnv(track, f1tenth_params(dtype=jnp.float32))
+        env = TrackEnv(track, f1tenth_params(dtype=jnp.float32),
+                       control_dt=args.control_dt)
     sim = env.reset(s0=0.0, speed0=1.0, batch_shape=(1,))
     rl = track.raceline
 
@@ -80,14 +92,15 @@ def main():
         # cartesian learned planner (reference IRBFNPlanner in
         # run_irbfn_mpc_in_gym.ipynb): body-frame lookahead goal + mirror
         from irbfn_tpu.planning import IRBFNPlanner
-        from irbfn_tpu.train import load_model
+        from irbfn_tpu.train import input_bounds_from_config, load_model
 
         if not args.config_f:
             raise SystemExit("--planner irbfn_cart requires --config_f/--ckpt")
         model, params, conf = load_model(args.config_f, args.ckpt)
         planner = IRBFNPlanner(model, {"params": params["params"]}, track,
                                mirror=bool(conf.get("mirror", True)),
-                               sv_ind=conf["out_features"] // 2)
+                               sv_ind=conf["out_features"] // 2,
+                               input_bounds=input_bounds_from_config(conf))
 
         def policy(obs):
             res = planner._plan_fn(planner._params, obs.pose_x, obs.pose_y,
@@ -121,7 +134,7 @@ def main():
     jax.block_until_ready(final.x)
     wall = time.time() - t0
     ey_mean, epsi_mean = deviation_metrics(traj)
-    sim_time = args.n_steps * 0.1
+    sim_time = args.n_steps * args.control_dt
     print(f"{args.planner}: {args.n_steps} control steps "
           f"({sim_time:.0f}s sim) in {wall:.2f}s wall "
           f"({sim_time / wall:.1f}x realtime)")

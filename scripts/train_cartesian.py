@@ -124,17 +124,30 @@ def main():
                      jnp.asarray(ub), jnp.asarray(delta),
                      tuple(activation_idx), get_basis(args.basis_function),
                      input_scale=input_scale)
-        pred = fit.predict(x[:100000], jnp.asarray(lb), jnp.asarray(ub),
-                           jnp.asarray(delta), tuple(activation_idx),
-                           get_basis(args.basis_function))
-        l1 = float(jnp.abs(pred - yv[:100000]).mean())
-        print(f"direct fit in {time.time() - t0:.1f}s; control L1 {l1:.4f}")
+        print(f"direct fit in {time.time() - t0:.1f}s")
+        # checkpoint BEFORE the L1 probe, and probe in chunks: a full-batch
+        # predict materializes a (B, R, K) feature intermediate that OOMs
+        # HBM next to the resident table (same failure train_frenet.py hit)
         params = dict(state.params["params"])
         params["core"] = {"centers": fit.centers, "log_sigs": fit.log_sigs}
         params["head"] = {"kernel": fit.weights, "bias": fit.bias}
         state = state.replace(params={"params": params})
         save_checkpoint(ckpt_dir, state, step=0)
         print(f"checkpoint at {ckpt_dir}")
+        n_rows = inputs.shape[0]
+        n_probe = min(65536, n_rows)
+        stride = max(n_rows // n_probe, 1)
+        idx_all = np.arange(0, n_rows, stride)[:n_probe]
+        l1_sum, n_seen = 0.0, 0
+        for i0 in range(0, idx_all.size, 8192):
+            idx = jnp.asarray(idx_all[i0:i0 + 8192])
+            pred = fit.predict(x[idx], jnp.asarray(lb), jnp.asarray(ub),
+                               jnp.asarray(delta), tuple(activation_idx),
+                               get_basis(args.basis_function))
+            l1_sum += float(jnp.abs(pred - yv[idx]).sum())
+            n_seen += int(idx.size)
+        l1 = l1_sum / (n_seen * outputs.shape[1])
+        print(f"control L1 {l1:.4f} (on {n_seen:,} strided rows)")
         if args.finetune_epochs <= 0:
             return
         args.train_epochs = args.finetune_epochs

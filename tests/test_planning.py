@@ -220,6 +220,53 @@ def test_cartesian_planner_obs_api():
     assert res.goal.shape == (B, 4)
 
 
+def test_cartesian_setpoint_execution():
+    """Setpoint mode tracks the plan's implied steer-angle profile: the
+    emitted sv must equal clip(gain * (cumsum(plan sv)*dt at frac - delta))
+    and differ from rate mode's raw first rate. Rate mode (the reference's
+    plan() return) is delta-blind and measurably spins the car in corners —
+    see IRBFNPlanner.__init__."""
+    import jax
+
+    from irbfn_tpu.dynamics.params import f1tenth_params
+    from irbfn_tpu.planning import IRBFNPlanner
+    from irbfn_tpu.sim import oval_track
+
+    track = oval_track(n_samples=256)
+    model = WCRBFNet(
+        in_features=7, out_features=10, num_kernels=8,
+        basis_func=get_basis("gaussian"), num_regions=2,
+        lower_bounds=[[0.0, 3.5]], upper_bounds=[[3.5, 7.0]],
+        dimension_ranges=[[0], [1]], activation_idx=[0], delta=[15.0])
+    params = model.init(jax.random.PRNGKey(1), jnp.ones((1, 7)))
+    kw = dict(mirror=False, sv_ind=5)
+    frac, gain = 0.4, 10.0
+    sp = IRBFNPlanner(model, params, track, steer_mode="setpoint",
+                      setpoint_frac=frac, setpoint_gain=gain, **kw)
+    rt = IRBFNPlanner(model, params, track, steer_mode="rate", **kw)
+    delta0 = 0.2
+    args = dict(x=jnp.zeros(4), y=jnp.full(4, -7.4), theta=jnp.zeros(4),
+                delta=jnp.full(4, delta0), v=jnp.full(4, 3.0),
+                beta=jnp.zeros(4), angv=jnp.zeros(4))
+    res_sp = sp.plan_batch(**args)
+    res_rt = rt.plan_batch(**args)
+    # same plan (same net), different execution
+    np.testing.assert_allclose(np.asarray(res_sp.pred_controls),
+                               np.asarray(res_rt.pred_controls), rtol=1e-6)
+    d_prof = np.cumsum(np.asarray(res_sp.pred_controls)[..., 1], axis=-1) * 0.1
+    k = int(round(frac * d_prof.shape[-1])) - 1
+    sv_max = float(f1tenth_params().sv_max)
+    want = np.clip(gain * (d_prof[..., k] - delta0), -sv_max, sv_max)
+    np.testing.assert_allclose(np.asarray(res_sp.steer_vel), want, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_rt.steer_vel),
+                               np.asarray(res_rt.pred_controls)[..., 0, 1],
+                               rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        IRBFNPlanner(model, params, track, steer_mode="nope")
+
+
 def test_frenet_planner_input_clamp():
     """Off-table states clamp to the grid edge: an absurd query returns the
     same controls as the grid-edge query (no RBF-tail extrapolation), while
