@@ -31,3 +31,20 @@ jax.config.update("jax_enable_x64", True)
 from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()  # no-op on CPU unless IRBFN_CPU_CACHE=1
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables at module boundaries.
+
+    A full single-process suite accumulates every module's jitted
+    executables; by the last heavy NMPC compile the process state is large
+    enough that XLA:CPU's backend_compile_and_load segfaults —
+    deterministically at tests/test_solvers.py::test_nmpc_perturbation_
+    optimality in a full run, never solo. Clearing per module keeps the
+    resident-executable footprint bounded; cross-module recompiles are
+    cheap relative to the NMPC compiles that dominate the suite."""
+    yield
+    jax.clear_caches()

@@ -236,15 +236,26 @@ def test_nmpc_perturbation_optimality(nmpc_setup):
             continue
         x0 = jnp.concatenate([jnp.zeros(1), rows[b, :4], rows[b, 5:7]])
         goal = jnp.zeros(7).at[3].set(rows[b, 4])
-        smooth = partial(M._smooth_cost, x0=x0, goal=goal, curv=rows[b, 7],
-                         p=p, cfg=cfg)
-        u_star = jnp.stack([sol.accel[b], sol.steer_vel[b]], -1).reshape(-1)
-        f_star = float(smooth(u_star))
+        # jitted probes: eager _rollout_rk4 dispatches hundreds of ops per
+        # call (120+ calls here) and its eager-scan compile is the single
+        # heaviest XLA:CPU compile in the suite
+        smooth_j = jax.jit(partial(M._smooth_cost, x0=x0, goal=goal,
+                                   curv=rows[b, 7], p=p, cfg=cfg))
+
+        def smooth(u_flat):
+            return float(smooth_j(u_flat))
+
+        @jax.jit
+        def viol_j(u_flat):
+            xs = M._rollout_rk4(x0, u_flat.reshape(5, 2), rows[b, 7], p, cfg)
+            return jnp.max(jnp.maximum(
+                M._state_box_violations(xs, cfg), 0.0))
 
         def viol(u_flat):
-            xs = M._rollout_rk4(x0, u_flat.reshape(5, 2), rows[b, 7], p, cfg)
-            return float(jnp.max(jnp.maximum(
-                M._state_box_violations(xs, cfg), 0.0)))
+            return float(viol_j(u_flat))
+
+        u_star = jnp.stack([sol.accel[b], sol.steer_vel[b]], -1).reshape(-1)
+        f_star = float(smooth(u_star))
 
         v_star = viol(u_star)
         lo = jnp.tile(jnp.asarray([-cfg.max_accel, -cfg.max_dsteer]), 5)
