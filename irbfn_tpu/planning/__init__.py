@@ -18,6 +18,7 @@ from irbfn_tpu.planning.planner import (
     IRBFNPlanner,
     NMPCPlanner,
     PlanResult,
+    stack_net_bank,
 )
 
 __all__ = [
@@ -25,7 +26,7 @@ __all__ = [
     "AdaptiveExplicitPlanner", "ExplicitFrenetPlanner", "GridTable",
     "NNTable", "grid_lookup", "grid_lookup_linear", "grid_table_from_arrays", "nn_lookup",
     "nn_table_from_arrays", "AdaptiveIRBFNPlanner", "IRBFNFrenetPlanner",
-    "IRBFNPlanner", "NMPCPlanner", "PlanResult",
+    "IRBFNPlanner", "NMPCPlanner", "PlanResult", "stack_net_bank",
 ]
 
 from irbfn_tpu.planning.lattice import (  # noqa: E402

@@ -384,6 +384,23 @@ class NMPCPlanner:
         return float(sol.accel[0, 0]), float(sol.steer_vel[0, 0])
 
 
+def stack_net_bank(model, params_list):
+    """Fuse a bank of same-architecture checkpoints into ONE vmapped forward
+    (the learned-planner analog of ``stack_grid_tables``; reference
+    AdaptiveIRBFNPlanner loads N configs/ckpts as N separate planners,
+    irbfn_planner.py:583-631, and fans out in Python).
+
+    Returns ``(apply_fn, stacked_params)`` where
+    ``apply_fn(stacked_params, x)`` evaluates EVERY arm on the batch in one
+    device dispatch, shape ``(n_arms, *x.shape[:-1], out)`` — a per-row arm
+    index then gathers the pulled arm (one fused op for a mixed-arm episode
+    batch, used by ``scripts/eval_adaptive.py --nets``)."""
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    apply_fn = jax.vmap(lambda prm, x: model.apply(prm, x),
+                        in_axes=(0, None))
+    return apply_fn, stacked
+
+
 class AdaptiveIRBFNPlanner:
     """EXP3 bandit over a bank of planners trained for different (mu, cs)
     (reference AdaptiveIRBFNPlanner, irbfn_planner.py:563-781; unlike the

@@ -41,8 +41,9 @@ from irbfn_tpu.sim.track import horizon_goal_speed, interp_wrapped
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--tables", type=str, nargs="+", required=True,
-                   help="one solver-table npz per arm (same lattice)")
+    p.add_argument("--tables", type=str, nargs="+", default=None,
+                   help="one solver-table npz per arm (same lattice); "
+                        "not needed with --nets")
     p.add_argument("--arm_mus", type=float, nargs="+", required=True)
     p.add_argument("--map_dir", type=str, required=True)
     p.add_argument("--mus", type=float, nargs="+",
@@ -68,17 +69,46 @@ def main():
                         "progress-before-crash noise")
     p.add_argument("--baseline_rounds", type=int, default=3,
                    help="rounds to average each fixed-arm baseline over")
+    p.add_argument("--nets", type=str, nargs="+", default=None,
+                   help="per-arm CONFIG_YAML:CKPT_DIR pairs — run the "
+                        "LEARNED planner bank instead of table lookups "
+                        "(the reference's AdaptiveIRBFNPlanner, "
+                        "irbfn_planner.py:563-625, whose EXP3 is never "
+                        "wired into plan()). All arms must share one "
+                        "architecture: params are stacked on a leading arm "
+                        "axis and all arms evaluate as ONE vmapped forward; "
+                        "the pulled arm selects per episode")
     p.add_argument("--json_out", type=str, default="adaptive_results.json")
     args = p.parse_args()
 
-    tables = []
-    for path in args.tables:
-        d = np.load(path)
-        tables.append(grid_table_from_arrays(d["inputs"], d["outputs"],
-                                             d.get("valid")))
-    stacked = stack_grid_tables(tables)
-    n_arms = len(tables)
-    assert n_arms == len(args.arm_mus)
+    if not args.tables and not args.nets:
+        raise SystemExit("need --tables (table bank) or --nets (learned bank)")
+    n_arms = len(args.arm_mus)
+    stacked = None
+    if args.tables:
+        tables = []
+        for path in args.tables:
+            d = np.load(path)
+            tables.append(grid_table_from_arrays(d["inputs"], d["outputs"],
+                                                 d.get("valid")))
+        stacked = stack_grid_tables(tables)
+        assert n_arms == len(tables)
+
+    net_apply, net_bounds = None, None
+    if args.nets:
+        assert len(args.nets) == n_arms, "one CONFIG:CKPT per arm"
+        from irbfn_tpu.planning import stack_net_bank
+        from irbfn_tpu.train import input_bounds_from_config, load_model
+
+        models, plist = [], []
+        for spec in args.nets:
+            cf, ck = spec.rsplit(":", 1)
+            m, prm, conf = load_model(cf, ck)
+            models.append((m, conf))
+            plist.append({"params": prm["params"]})
+        net_bounds = jnp.asarray(input_bounds_from_config(models[0][1]),
+                                 jnp.float32)
+        net_apply, stacked_params = stack_net_bank(models[0][0], plist)
     if args.speed_scales is None:
         mu_ref = max(args.arm_mus)
         args.speed_scales = [float(np.sqrt(m / mu_ref)) for m in args.arm_mus]
@@ -112,11 +142,20 @@ def main():
             vx_goal = vx_goal * jnp.take(scales_arr, arm_b.astype(jnp.int32))
             need_m = obs.ey < -0.05
             sign = jnp.where(need_m, -1.0, 1.0)
-            q = jnp.stack([arm_b, sign * obs.ey, sign * obs.delta,
+            q = jnp.stack([sign * obs.ey, sign * obs.delta,
                            obs.linear_vel_x, sign * obs.linear_vel_y,
                            vx_goal, sign * obs.ang_vel_z, sign * obs.epsi,
                            sign * curv], axis=-1)
-            out, valid = grid_lookup_linear(stacked, q)
+            if net_apply is not None:
+                qn = jnp.clip(q, net_bounds[:, 0], net_bounds[:, 1])
+                out_all = net_apply(stacked_params, qn)  # (A, B, 2T)
+                out = jnp.take_along_axis(
+                    out_all, arm_b.astype(jnp.int32)[None, :, None],
+                    axis=0)[0]
+                T = out.shape[-1] // 2
+                return jnp.stack([out[..., 0], sign * out[..., T]], axis=-1)
+            qa = jnp.concatenate([arm_b[..., None], q], axis=-1)
+            out, valid = grid_lookup_linear(stacked, qa)
             T = out.shape[-1] // 2
             act = jnp.stack([out[..., 0], sign * out[..., T]], axis=-1)
             brake = jnp.stack([jnp.full_like(obs.ey, -9.51),
@@ -174,6 +213,7 @@ def main():
               + " ".join(f"{v:.2f}" for v in r))
 
     results = {"combos": combos, "arm_mus": args.arm_mus,
+               "mode": "learned" if args.nets else "table",
                "speed_scales": args.speed_scales,
                "baseline_rounds": args.baseline_rounds,
                "fixed_rewards": fixed.tolist(),

@@ -57,6 +57,25 @@ def make_policy(args, track):
                                    obs.delta, obs.linear_vel_x,
                                    obs.linear_vel_y, obs.ang_vel_z)
             return jnp.stack([res.accel, res.steer_vel], axis=-1)
+    elif args.planner == "irbfn_cart":
+        # cartesian learned planner (reference IRBFNPlanner): body-frame
+        # lookahead goal, exact mirror, steer-angle setpoint execution
+        if not args.config_f:
+            raise SystemExit("--planner irbfn_cart requires --config_f/--ckpt")
+        from irbfn_tpu.planning import IRBFNPlanner
+        from irbfn_tpu.train import input_bounds_from_config
+
+        model, net_params, conf = load_model(args.config_f, args.ckpt)
+        planner = IRBFNPlanner(model, {"params": net_params["params"]}, track,
+                               mirror=bool(conf.get("mirror", True)),
+                               sv_ind=conf["out_features"] // 2,
+                               input_bounds=input_bounds_from_config(conf))
+
+        def policy(obs):
+            res = planner._plan_fn(planner._params, obs.pose_x, obs.pose_y,
+                                   obs.pose_theta, obs.delta,
+                                   obs.linear_vel_x, obs.beta, obs.ang_vel_z)
+            return jnp.stack([res.accel, res.steer_vel], axis=-1)
     elif args.planner == "explicit":
         # explicit-MPC table lookup (reference ExplicitFrenetPlanner in the
         # loop): nearest-lattice-cell controls via grid-index arithmetic,
@@ -131,7 +150,8 @@ def main():
     p.add_argument("--config_f", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--planner",
-                   choices=["irbfn", "nmpc", "explicit", "pursuit"],
+                   choices=["irbfn", "irbfn_cart", "nmpc", "explicit",
+                            "pursuit"],
                    default="nmpc")
     p.add_argument("--table_path", type=str, default=None,
                    help="solver-table npz for --planner explicit")

@@ -394,3 +394,32 @@ def test_stack_grid_tables_selects_arm_exactly():
                     np.float32)
     _, v0 = grid_lookup_linear(stacked, jnp.asarray(q0))
     assert bool(v0[0]) and not bool(v0[1]) and bool(v0[2])
+
+
+def test_stacked_net_bank_selects_arm_exactly():
+    """Learned multi-arm bank (scripts/eval_adaptive.py --nets, the
+    reference's AdaptiveIRBFNPlanner over N checkpoints,
+    irbfn_planner.py:563-631): same-architecture per-arm params stacked on a
+    leading axis, ALL arms evaluated as one vmapped forward, per-row arm
+    index gathering the pulled arm — must equal each arm's own forward."""
+    model = WCRBFNet(
+        in_features=3, out_features=4, num_kernels=8,
+        basis_func=get_basis("gaussian"), num_regions=2,
+        lower_bounds=[[-2.0, 0.0]], upper_bounds=[[0.0, 2.0]],
+        dimension_ranges=[[0], [1]], activation_idx=[0], delta=[15.0])
+    from irbfn_tpu.planning import stack_net_bank
+
+    plist = [model.init(jax.random.PRNGKey(k), jnp.ones((1, 3)))
+             for k in range(3)]
+    net_apply, stacked = stack_net_bank(model, plist)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1.5, 1.5, (6, 3)), jnp.float32)
+    arm = jnp.asarray([0, 1, 2, 2, 1, 0], jnp.int32)
+    out_all = net_apply(stacked, x)                     # (A, B, out)
+    got = jnp.take_along_axis(out_all, arm[None, :, None], axis=0)[0]
+    for a in range(3):
+        want = model.apply(plist[a], x)
+        rows = np.asarray(arm) == a
+        np.testing.assert_allclose(np.asarray(got)[rows],
+                                   np.asarray(want)[rows], rtol=1e-6)
