@@ -237,7 +237,16 @@ def raceline_from_csv(csv_path: str, dtype=jnp.float32):
     count and get geometry-derived yaw/curvature and unit speed."""
     from irbfn_tpu.sim.track import Raceline
 
-    raw = np.genfromtxt(csv_path, delimiter=";", comments="#")
+    # delimiter varies by asset: racelines use ';', the bundled centerlines
+    # use ',' (e.g. Oschersleben_centerline.csv) — sniff the first data line
+    with open(csv_path) as f:
+        for line in f:
+            if line.strip() and not line.lstrip().startswith("#"):
+                delim = ";" if ";" in line else ","
+                break
+        else:
+            raise ValueError(f"no data rows in {csv_path}")
+    raw = np.genfromtxt(csv_path, delimiter=delim, comments="#")
     if raw.shape[1] >= 6:  # raceline: s; x; y; psi; kappa; vx
         ss, xs, ys, yaws, ks, vxs = (raw[:, i] for i in range(6))
     else:  # centerline: x; y; [w_left; w_right]
@@ -263,16 +272,22 @@ def raceline_from_csv(csv_path: str, dtype=jnp.float32):
 
 
 def load_track_bundle(map_dir: str, name: str | None = None,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, prefer: str = "raceline"):
     """Load a reference-format track directory (<name>_map.yaml +
     <name>_map.png + <name>_raceline.csv / <name>_centerline.csv) into a
     (Track, OccupancyMap) pair — the reference's Track.from_track_name
-    surface (track.py:201-240)."""
+    surface (track.py:201-240). ``prefer`` picks which line to try first
+    (``"raceline"`` or ``"centerline"`` — the centerline stays mid-track
+    with maximal wall clearance; some bundled racelines run sub-car-width
+    from walls, see scripts/eval_closed_loop.py --car_radius)."""
     from irbfn_tpu.sim.track import Track
 
     name = name or os.path.basename(os.path.normpath(map_dir))
     omap = load_map_yaml(os.path.join(map_dir, f"{name}_map.yaml"), dtype)
-    for suffix in ("raceline", "centerline"):
+    order = ("raceline", "centerline")
+    if prefer == "centerline":
+        order = ("centerline", "raceline")
+    for suffix in order:
         csv_path = os.path.join(map_dir, f"{name}_{suffix}.csv")
         if os.path.exists(csv_path):
             return Track(raceline_from_csv(csv_path, dtype)), omap

@@ -172,6 +172,18 @@ def main():
     p.add_argument("--map_dir", type=str, default=None,
                    help="reference-format track dir; collision then checks "
                         "the real occupancy map instead of a corridor")
+    p.add_argument("--line", choices=["raceline", "centerline"],
+                   default="raceline",
+                   help="which track line to follow (centerline = mid-track"
+                        ", unit speed profile — combine with --speed_scale)")
+    p.add_argument("--car_radius", type=float, default=0.15,
+                   help="collision disc radius vs the occupancy map. The "
+                        "gym's own sim never terminates on wall contact "
+                        "(agent-agent GJK + iTTC only, base_classes.py), "
+                        "and some bundled racelines run sub-half-car-width "
+                        "from walls (Oschersleben pinches to 0.143 m "
+                        "clearance at s=135.7) — lower this to evaluate "
+                        "such tracks under a wall-contact-tolerant model")
     p.add_argument("--save_tube", type=str, default=None,
                    help="save the visited 8-dim net-input states (the "
                         "closed-loop operating tube) to this npz — feeds "
@@ -189,7 +201,7 @@ def main():
     if args.map_dir:
         from irbfn_tpu.sim.map import load_track_bundle
 
-        track, omap = load_track_bundle(args.map_dir)
+        track, omap = load_track_bundle(args.map_dir, prefer=args.line)
     else:
         track = oval_track(n_samples=512, speed=3.0)
     if args.speed_scale != 1.0:
@@ -211,7 +223,7 @@ def main():
 
     env = TrackEnv(track, params_b,
                    half_width=None if omap is not None else args.half_width,
-                   occ_map=omap, car_radius=0.15)
+                   occ_map=omap, car_radius=args.car_radius)
     policy = make_policy(args, track)
     key = jax.random.PRNGKey(args.seed)
 

@@ -118,6 +118,26 @@ def test_load_reference_track_bundle():
     assert r.max() > 10.0 and (r <= 30.0).all()
 
 
+def test_load_comma_delimited_centerline():
+    """Bundled centerline CSVs are ','-separated with (x, y, w_l, w_r)
+    columns (Oschersleben_centerline.csv), unlike the ';'-separated
+    racelines — the parser must sniff the delimiter and derive yaw/curv
+    from geometry (prefer='centerline' selects it over a raceline)."""
+    osch = os.path.join(REF_MAPS, "Oschersleben")
+    if not os.path.isdir(osch):
+        pytest.skip("reference maps not mounted")
+    track, omap = load_track_bundle(osch, prefer="centerline")
+    rl = track.raceline
+    assert float(rl.length) > 100.0
+    np.testing.assert_allclose(np.asarray(rl.vxs), 1.0)  # unit speed
+    # mid-track line: clearance comfortably above the raceline's pinches
+    d = np.asarray(distance_at(omap, rl.xs[::20], rl.ys[::20]))
+    assert (d > 0.5).all(), d.min()
+    # yaw derived from geometry is continuous (no 2*pi jumps mid-segment)
+    dy = np.abs(np.diff(np.unwrap(np.asarray(rl.yaws))))
+    assert dy.max() < 0.5
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_MAPS),
                     reason="reference maps not mounted")
 def test_env_on_real_map_terminates_on_wall():
