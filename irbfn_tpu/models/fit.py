@@ -229,37 +229,46 @@ def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     delta_d = jnp.asarray(delta)
     act_t = tuple(act)
 
+    centers_d, log_sigs_d = jnp.asarray(centers), jnp.asarray(log_sigs)
+
     def gram(xs, ys, ws, r):
         # weighted gram for one region: A = P^T diag(w) P with
-        # P = [phi_r, 1]; w = gamma_n_r * sample_weight
+        # P = [phi_r, 1]; w = gamma_n_r * sample_weight. ``r`` is a TRACED
+        # index (dynamic gather of the region's center bank) so ONE compile
+        # covers all R regions — a static r embeds region-sliced constants
+        # and recompiles per region (~minutes each through a remote tunnel).
         with jax.default_matmul_precision("highest"):
             gamma = region_activation(xs, lb_d, ub_d, delta_d, act_t)
             gamma = gamma / (jnp.sum(gamma, axis=-1, keepdims=True) + 1e-9)
-            d = rbf_distances(xs, centers[r:r + 1], log_sigs[r:r + 1],
+            c_r = jax.lax.dynamic_index_in_dim(centers_d, r, keepdims=True)
+            ls_r = jax.lax.dynamic_index_in_dim(log_sigs_d, r, keepdims=True)
+            d = rbf_distances(xs, c_r, ls_r,
                               input_scale=input_scale)  # (B, 1, K)
             p1 = jnp.concatenate(
                 [basis_func(d[:, 0, :]),
                  jnp.ones((xs.shape[0], 1), xs.dtype)], axis=1)
-            w = (gamma[:, r] * ws).astype(xs.dtype)
+            w = (jnp.take(gamma, r, axis=1) * ws).astype(xs.dtype)
             pw = p1 * w[:, None]
             return (pw.T @ p1).astype(jnp.float32), (pw.T @ ys).astype(jnp.float32)
 
-    @partial(jax.jit, static_argnames=("r",))
+    @jax.jit
     def accumulate(xs, ys, ws, r):
         return gram(xs, ys, ws, r)
 
     # big arrays as explicit jit args, not closure constants (see
     # tube_weights note)
-    @partial(jax.jit, static_argnames=("r", "has_w"))
-    def accumulate_gathered(A, b, xd, yd, wd, idx, r, has_w):
-        # device-side row gather: idx (chunk,) int32, -1 = padding
+    @partial(jax.jit, static_argnames=("has_w",))
+    def accumulate_gathered(xd, yd, wd, idx, r, has_w):
+        # device-side row gather: idx (chunk,) int32, -1 = padding.
+        # Returns the CHUNK's gram (fetched and accumulated in f64 on the
+        # host, matching the non-resident path — cross-chunk f32
+        # accumulation on device loses the gram's small eigenvalues).
         safe = jnp.maximum(idx, 0)
         xs = xd[safe]
         ys = yd[safe]
         ws = wd[safe] if has_w else jnp.ones((idx.shape[0],), xs.dtype)
         ws = jnp.where(idx >= 0, ws, 0.0)
-        Ab, bb = gram(xs, ys, ws, r)
-        return A + Ab, b + bb
+        return gram(xs, ys, ws, r)
 
     weights = np.zeros((R * K + R, O), np.float32)
     xa = x_np[:, act]
@@ -270,30 +279,35 @@ def fit_per_region(x, y, centers, log_sigs, lb, ub, delta, activation_idx,
     for r in range(R):
         m = np.all((xa >= lb_np[r] - margin) & (xa <= ub_np[r] + margin),
                    axis=1)
+        A = np.zeros((K + 1, K + 1), np.float64)
+        b = np.zeros((K + 1, O), np.float64)
+        r_d = jnp.asarray(r, jnp.int32)
         if resident:
             idx_all = np.nonzero(m)[0].astype(np.int32)
             n_pad = ((len(idx_all) + chunk - 1) // chunk) * chunk
             idx_all = np.pad(idx_all, (0, n_pad - len(idx_all)),
                              constant_values=-1)
-            A = jnp.zeros((K + 1, K + 1), jnp.float32)
-            b = jnp.zeros((K + 1, O), jnp.float32)
             for i0 in range(0, len(idx_all), chunk):
-                A, b = accumulate_gathered(
-                    A, b, x_dev, y_dev, w_dev_or_dummy,
-                    jnp.asarray(idx_all[i0:i0 + chunk]), r,
+                Ab, bb = accumulate_gathered(
+                    x_dev, y_dev, w_dev_or_dummy,
+                    jnp.asarray(idx_all[i0:i0 + chunk]), r_d,
                     w_dev is not None)
-            A = np.asarray(A, np.float64)
-            b = np.asarray(b, np.float64)
+                A += np.asarray(Ab, np.float64)
+                b += np.asarray(bb, np.float64)
         else:
             xs_r, ys_r = x_np[m], y_np[m]
             ws_r = (np.ones(xs_r.shape[0], np.float32) if sw_np is None
                     else sw_np[m])
-            A = np.zeros((K + 1, K + 1), np.float64)
-            b = np.zeros((K + 1, O), np.float64)
-            for i0 in range(0, xs_r.shape[0], chunk):
+            # pad the tail chunk so every dispatch shares one compiled shape
+            n_r = xs_r.shape[0]
+            n_pad_r = ((n_r + chunk - 1) // chunk) * chunk
+            xs_r = np.pad(xs_r, ((0, n_pad_r - n_r), (0, 0)))
+            ys_r = np.pad(ys_r, ((0, n_pad_r - n_r), (0, 0)))
+            ws_r = np.pad(ws_r, (0, n_pad_r - n_r))  # pad rows: weight 0
+            for i0 in range(0, n_pad_r, chunk):
                 Ab, bb = accumulate(jnp.asarray(xs_r[i0:i0 + chunk]),
                                     jnp.asarray(ys_r[i0:i0 + chunk]),
-                                    jnp.asarray(ws_r[i0:i0 + chunk]), r)
+                                    jnp.asarray(ws_r[i0:i0 + chunk]), r_d)
                 A += np.asarray(Ab, np.float64)
                 b += np.asarray(bb, np.float64)
         # host f64 solve with trace-relative ridge (see _fit_direct_impl)

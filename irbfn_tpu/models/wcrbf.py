@@ -109,7 +109,13 @@ def rbf_distances(x, centers, log_sigs, input_scale=None):
         centers = centers * s
     x_sq = jnp.sum(x * x, axis=-1)  # (B,)
     c_sq = jnp.sum(centers * centers, axis=-1)  # (R, K)
+    # HIGHEST precision is load-bearing: the TPU's default bf16 matmul
+    # passes perturb d^2 by ~1e-2, and direct-fit weights (ill-conditioned
+    # gaussian grams, large cancelling coefficients) amplify that into
+    # garbage predictions at serve time — a fit whose gram was accumulated
+    # in f32 (fit.py:gram) must be EVALUATED with f32 distances too.
     cross = jnp.einsum("bf,rkf->brk", x, centers,
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32
                        if x.dtype == jnp.bfloat16 else None)
     sq = x_sq[:, None, None] - 2.0 * cross + c_sq[None]

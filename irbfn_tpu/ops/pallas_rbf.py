@@ -68,12 +68,14 @@ def _rbf_kernel(x_ref, gamma_ref, centers_ref, inv_sigs_ref, w_ref, b_ref,
         c = centers_ref[r]  # (K, F)
         inv_sig = inv_sigs_ref[r]  # (K,)
         c_sq = jnp.sum(c * c, axis=-1)  # (K,)
-        cross = jnp.dot(x, c.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(x, c.T, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
         d = jnp.sqrt(jnp.maximum(x_sq - 2.0 * cross + c_sq[None, :], 1e-30))
         phi = basis_fn(d * inv_sig[None, :])  # (TB, K)
         gphi = gamma[:, r][:, None] * phi
         if per_region:
             acc = acc + jnp.dot(gphi, w_ref[r],
+                                precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
             acc = acc + gamma[:, r][:, None] * b_ref[r][None, :]
         else:
@@ -83,6 +85,7 @@ def _rbf_kernel(x_ref, gamma_ref, centers_ref, inv_sigs_ref, w_ref, b_ref,
         out_ref[:] = acc
     else:
         out_ref[:] = jnp.dot(feat, w_ref[:],
+                             precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32) + b_ref[:]
 
 

@@ -61,6 +61,13 @@ def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 100):
         lambda a: np.asarray(a) if hasattr(a, "dtype") else a,
         {"params": state.params, "opt_state": state.opt_state,
          "step": state.step})
+    # explicit delete-then-save: orbax otherwise SILENTLY skips (or, with
+    # force=True, raises StepAlreadyExistsError for) a save whose step
+    # already exists, leaving a stale checkpoint paired with a fresh YAML
+    # config (re-running a trainer with the same run_name restored the
+    # previous run's weights and shape-errored on load)
+    if step in mngr.all_steps():
+        mngr.delete(step)
     mngr.save(step, args=ocp.args.StandardSave(payload))
     mngr.wait_until_finished()
     mngr.close()

@@ -32,6 +32,9 @@ def main():
     p.add_argument("--lut_path", type=str, required=True)
     p.add_argument("--config_f", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--chunk", type=int, default=1 << 18,
+                   help="rows per device dispatch (bounds the (B,R,K) "
+                        "distance intermediate)")
     args = p.parse_args()
 
     data = np.load(args.lut_path)
@@ -42,16 +45,29 @@ def main():
     params = lut.reshape(-1, 5)
 
     if args.config_f:
+        import jax
+
         from irbfn_tpu.train import load_model
 
         model, net_params, _ = load_model(args.config_f, args.ckpt)
-        params = np.asarray(model.apply({"params": net_params["params"]},
-                                        jnp.asarray(goals, jnp.float32)))
+        # chunked forward: the (B, R, K) distance intermediate on a
+        # multi-million-row LUT would exceed HBM in one call
+        apply = jax.jit(lambda x: model.apply(
+            {"params": net_params["params"]}, x))
+        chunks = []
+        for i0 in range(0, goals.shape[0], args.chunk):
+            chunks.append(np.asarray(apply(
+                jnp.asarray(goals[i0:i0 + args.chunk], jnp.float32))))
+        params = np.concatenate(chunks, axis=0)
         label = "net prediction"
     else:
         label = "LUT entry"
 
-    end = np.asarray(integrate_endpoint_gl(jnp.asarray(params, jnp.float64)))
+    ends = []
+    for i0 in range(0, params.shape[0], args.chunk):
+        ends.append(np.asarray(integrate_endpoint_gl(
+            jnp.asarray(params[i0:i0 + args.chunk], jnp.float64))))
+    end = np.concatenate(ends, axis=0)
     ex = np.abs(end[:, 0] - goals[:, 0])
     ey = np.abs(end[:, 1] - goals[:, 1])
     et = np.abs(np.asarray(wrap_angle(jnp.asarray(end[:, 2] - goals[:, 2]))))

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Clothoid-LUT trainer (the IROS-2023 pipeline's missing link; reference
+deprecated/train.py / train_newlut.py): fit a WCRBF net mapping goal pose
+(x, y, theta) -> spiral params (k0, k1, k2, k3, s) on a LUT produced by
+scripts/gen_clothoid_lut.py, with the overlapping-region bounds the reference
+builds via numpy stride tricks (deprecated/train.py:76-113) and the
+closed-form per-region Cholesky fit instead of thousands of Adam epochs.
+
+Writes the YAML config + orbax checkpoint pair that demo_traj_fan.py,
+eval_lut_accuracy.py and profile_throughput.py consume via --config_f/--ckpt.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from irbfn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from irbfn_tpu.models import WCRBFNet, get_basis
+from irbfn_tpu.models.fit import (choose_centers, data_scale, device_table,
+                                  fit_direct, fit_per_region)
+from irbfn_tpu.models.wcrbf import build_region_bounds
+from irbfn_tpu.train import (create_train_state, region_spec_from_table,
+                             save_checkpoint, save_config)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--lut_path", type=str, required=True)
+    p.add_argument("--run_name", type=str, default="clothoid_pr")
+    p.add_argument("--num_k", type=int, default=256)
+    p.add_argument("--num_x", type=int, default=4,
+                   help="overlapping region segments along x")
+    p.add_argument("--num_y", type=int, default=1)
+    p.add_argument("--num_t", type=int, default=2)
+    p.add_argument("--num_overlap", type=int, default=1)
+    p.add_argument("--basis_function", type=str, default="gaussian")
+    p.add_argument("--fit_mode", type=str, default="per_region",
+                   choices=["shared", "per_region"])
+    p.add_argument("--reg", type=float, default=1e-5)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    data = np.load(args.lut_path)
+    lut = data["lut"]
+    xg, yg, tg = data["xlut"], data["ylut"], data["tlut"]
+    X, Y, T = np.meshgrid(xg, yg, tg, indexing="ij")
+    inputs = np.stack([X, Y, T], axis=-1).reshape(-1, 3).astype(np.float32)
+    outputs = lut.reshape(-1, 5).astype(np.float32)
+    print(f"{inputs.shape[0]:,} LUT rows "
+          f"({len(xg)}x{len(yg)}x{len(tg)})")
+
+    splits = [args.num_x, args.num_y, args.num_t]
+    lower_bounds, upper_bounds, dimension_ranges, delta = (
+        region_spec_from_table(inputs, splits, num_overlap=args.num_overlap))
+    num_regions = int(np.prod(splits))
+    activation_idx = [0, 1, 2]
+    input_scale = tuple(float(v) for v in data_scale(inputs))
+
+    model = WCRBFNet(
+        in_features=3, out_features=5, num_kernels=args.num_k,
+        basis_func=get_basis(args.basis_function), num_regions=num_regions,
+        lower_bounds=lower_bounds, upper_bounds=upper_bounds,
+        dimension_ranges=dimension_ranges, activation_idx=activation_idx,
+        delta=delta, input_scale=input_scale, head_mode=args.fit_mode)
+    config = {
+        "model_class": "WCRBFNet", "in_features": 3, "out_features": 5,
+        "num_kernels": args.num_k, "basis_func": args.basis_function,
+        "num_regions": num_regions, "lower_bounds": lower_bounds,
+        "upper_bounds": upper_bounds, "dimension_ranges": dimension_ranges,
+        "activation_idx": activation_idx, "delta": delta,
+        "seed": args.seed, "input_scale": list(input_scale),
+        "head_mode": args.fit_mode,
+    }
+    os.makedirs("configs", exist_ok=True)
+    save_config(f"configs/{args.run_name}.yaml", config)
+    ckpt_dir = os.path.abspath(f"ckpts/{args.run_name}")
+
+    state = create_train_state(model, jax.random.PRNGKey(args.seed),
+                               jnp.ones((8, 3), jnp.float32), lr=1e-3)
+
+    t0 = time.time()
+    x_dev, y_dev, _ = device_table(inputs, outputs)
+    x_dev.block_until_ready()
+    print(f"table resident on device in {time.time() - t0:.1f}s "
+          f"({(x_dev.nbytes + y_dev.nbytes) / 2**20:.0f} MB)")
+    lb, ub = build_region_bounds(lower_bounds, upper_bounds,
+                                 dimension_ranges, activation_idx)
+    centers, log_sigs = choose_centers(
+        inputs, num_kernels=args.num_k, num_regions=num_regions,
+        seed=args.seed, input_scale=input_scale, lb=lb, ub=ub,
+        activation_idx=activation_idx)
+    t0 = time.time()
+    basis = get_basis(args.basis_function)
+    if args.fit_mode == "per_region":
+        fit = fit_per_region(inputs, outputs, centers, log_sigs,
+                             jnp.asarray(lb), jnp.asarray(ub),
+                             jnp.asarray(delta), tuple(activation_idx),
+                             basis, reg=args.reg, input_scale=input_scale,
+                             x_dev=x_dev, y_dev=y_dev)
+    else:
+        fit = fit_direct(inputs, outputs, centers, log_sigs,
+                         jnp.asarray(lb), jnp.asarray(ub),
+                         jnp.asarray(delta), tuple(activation_idx),
+                         basis, reg=args.reg, input_scale=input_scale)
+    print(f"direct fit in {time.time() - t0:.1f}s")
+
+    params = dict(state.params["params"])
+    params["core"] = {"centers": fit.centers, "log_sigs": fit.log_sigs}
+    params["head"] = {"kernel": fit.weights, "bias": fit.bias}
+    state = state.replace(params={"params": params})
+    save_checkpoint(ckpt_dir, state, step=0)
+    print(f"checkpoint at {ckpt_dir}")
+
+    # strided L1 probe over true rows (x_dev is zero-padded; see
+    # train_frenet.py — plain slices would average padding rows)
+    n_rows = inputs.shape[0]
+    n_probe = min(65536, n_rows)
+    stride = max(n_rows // n_probe, 1)
+    idx_all = np.arange(0, n_rows, stride)[:n_probe]
+    l1_sum, n_seen = 0.0, 0
+    for i0 in range(0, idx_all.size, 8192):
+        idx = jnp.asarray(idx_all[i0:i0 + 8192])
+        pred = fit.predict(x_dev[idx], jnp.asarray(lb), jnp.asarray(ub),
+                           jnp.asarray(delta), tuple(activation_idx), basis)
+        l1_sum += float(jnp.abs(pred - y_dev[idx]).sum())
+        n_seen += int(idx.size)
+    print(f"spiral-param L1 {l1_sum / (n_seen * 5):.5f} "
+          f"(on {n_seen:,} strided rows)")
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,24 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(a, b)
 
 
+def test_checkpoint_overwrites_existing_step(tmp_path):
+    # re-running a trainer with the same run_name must replace the old
+    # checkpoint, not silently keep it (orbax skips duplicate steps by
+    # default and raises StepAlreadyExistsError with force=True)
+    model = _frenet_model()
+    x, _ = _batch(4)
+    state = create_train_state(model, jax.random.PRNGKey(0), x)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, step=0)
+    bumped = jax.tree.map(lambda a: a + 1.0, state.params)
+    save_checkpoint(ckpt_dir, state.replace(params=bumped), step=0)
+    restored = restore_params(ckpt_dir)
+    ref_flat, _ = jax.tree_util.tree_flatten(bumped)
+    got_flat, _ = jax.tree_util.tree_flatten(restored)
+    for a, b in zip(ref_flat, got_flat):
+        np.testing.assert_allclose(a, b)
+
+
 def test_config_roundtrip(tmp_path):
     config = {
         "in_features": 8, "out_features": 10, "num_kernels": 8,
