@@ -61,30 +61,12 @@ def bench_bvp_solves(n_points: int = 1 << 20):
 
 
 def _chain_slope(fwd, x, c1: int = 64, c2: int = 1024):
-    """Per-call latency of ``fwd`` via the two-chain-length slope.
+    """Per-call latency via the two-chain-length slope (shared impl:
+    irbfn_tpu/utils/profiling.py:chain_latency — see its docstring for why
+    a single chain-divided measurement over-reports ~20x here)."""
+    from irbfn_tpu.utils.profiling import chain_latency
 
-    ``chain`` sequentially-dependent forwards run inside ONE jitted call
-    (the data dependency — input perturbed by the running checksum — stops
-    XLA from parallelizing the chain); the tunnel's ~25 ms RTT and any
-    fixed dispatch cost cancel in (T(c2) - T(c1)) / (c2 - c1). A single
-    chain-divided measurement does NOT cancel them and over-reports sub-ms
-    latencies ~20x (round-1 lesson)."""
-    import jax
-    import jax.numpy as jnp
-
-    def chained(chain):
-        def run(xx):
-            def body(i, acc):
-                y = fwd(xx + 1e-20 * acc)
-                return acc + jnp.sum(y)
-
-            return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
-
-        return jax.jit(run)
-
-    t1 = _time_op(chained(c1), x, warmup=2, iters=10)
-    t2 = _time_op(chained(c2), x, warmup=2, iters=10)
-    return (t2 - t1) / (c2 - c1)
+    return chain_latency(fwd, x, c1=c1, c2=c2, warmup=2, iters=10)
 
 
 def bench_plan_latency(batch: int = 1024):

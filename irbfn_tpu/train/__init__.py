@@ -12,6 +12,7 @@ from irbfn_tpu.train.trainer import (
     StepMetrics,
     TrainState,
     cartesian_fullint_loss,
+    clothoid_endpoint_loss,
     cluster_fullint_loss,
     create_train_state,
     frenet_fullint_loss,
@@ -26,6 +27,7 @@ from irbfn_tpu.train.trainer import (
 __all__ = [
     "input_bounds_from_config", "load_config", "load_model", "restore_params", "save_checkpoint",
     "save_config", "StepMetrics", "TrainState", "cartesian_fullint_loss",
+    "clothoid_endpoint_loss",
     "cluster_fullint_loss", "create_train_state", "frenet_fullint_loss",
     "frenet_oneint_loss", "make_train_step", "mirror_cartesian_table",
     "region_spec_from_table",

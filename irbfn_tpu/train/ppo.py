@@ -52,6 +52,8 @@ class PPOConfig(NamedTuple):
     ent_coef: float = 0.01
     lr: float = 3e-4
     max_grad_norm: float = 0.5
+    s0_spread: float = 50.0
+    speed0: float = 2.0
 
 
 def _obs_vector(obs):
@@ -66,10 +68,23 @@ def make_lattice_actions(n_lat: int = 7, max_ey_target: float = 1.0):
     return jnp.linspace(-max_ey_target, max_ey_target, n_lat)
 
 
-def _action_controls(obs, ey_target, v_target: float = 3.0):
-    """Proportional tracker toward the selected lattice offset."""
-    sv = jnp.clip(-1.2 * (obs.ey - ey_target) - 1.5 * obs.epsi
-                  - 0.8 * obs.delta, -3.2, 3.2)
+def _action_controls(obs, ey_target, track=None, wheelbase: float = 0.33,
+                     v_target: float = 3.0):
+    """Low-level tracker toward the selected lattice offset.
+
+    Curvature feedforward + steer-angle-SETPOINT tracking: a pure
+    proportional steering-rate law with no feedforward is only marginally
+    stable on a closed track — measured limit cycle at |ey| ~ 1.5 m with
+    zero forward progress after ~5 s (the same delta-blind instability the
+    cartesian planner hit; see IRBFNPlanner steer_mode="setpoint")."""
+    if track is not None:
+        kappa = track.curvature_at(obs.s)
+        delta_ff = jnp.arctan(wheelbase * kappa)
+    else:
+        delta_ff = jnp.zeros_like(obs.ey)
+    delta_des = jnp.clip(
+        delta_ff - 0.35 * (obs.ey - ey_target) - 0.9 * obs.epsi, -0.4, 0.4)
+    sv = jnp.clip(6.0 * (delta_des - obs.delta), -3.2, 3.2)
     a = jnp.clip(2.0 * (v_target - obs.linear_vel_x), -9.51, 9.51)
     return jnp.stack([a, sv], axis=-1).astype(obs.ey.dtype)
 
@@ -112,7 +127,8 @@ class PPOTrainer:
                 action = jax.random.categorical(sub, logits)
                 logp = jnp.take_along_axis(
                     jax.nn.log_softmax(logits), action[:, None], 1).squeeze(1)
-                controls = _action_controls(obs, offsets[action])
+                controls = _action_controls(obs, offsets[action],
+                                            track=env.track)
                 sim_next = env.step(sim, controls)
                 reward = _reward(obs, sim.s, sim_next.s)
                 return (sim_next, key), (ov, action, logp, value, reward)
@@ -153,6 +169,25 @@ class PPOTrainer:
 
         @jax.jit
         def update(params, opt_state, sim, key):
+            # auto-reset crashed envs: episodes freeze on done
+            # (env.py:208-218), so without this the live pool shrinks
+            # monotonically across updates and the policy only ever sees
+            # (and is punished by) its own frozen wrecks — rewards DEGRADE
+            # with training. Reset between rollouts, standard vectorized
+            # PPO truncation semantics.
+            crashed = sim.done
+            key, rk = jax.random.split(key)
+            s0 = jax.random.uniform(rk, (cfg.n_envs,),
+                                    maxval=cfg.s0_spread)
+            fresh = env.reset(s0=s0, speed0=cfg.speed0,
+                              batch_shape=(cfg.n_envs,))
+
+            def merge(f, o):
+                d = crashed.reshape(crashed.shape
+                                    + (1,) * (o.ndim - crashed.ndim))
+                return jnp.where(d, f, o)
+
+            sim = jax.tree.map(merge, fresh, sim)
             sim, key, traj, last_value = rollout(params, sim, key)
             ov, action, logp, value, reward = traj
             adv = gae(reward, value, last_value)
@@ -185,17 +220,18 @@ class PPOTrainer:
                 epoch_body, (params, opt_state, key), None,
                 length=cfg.n_epochs)
             metrics = {"loss": losses.mean(), "reward": reward.mean(),
-                       "mean_progress": (sim.s).mean()}
+                       "mean_progress": (sim.s).mean(),
+                       "crash_rate": crashed.mean()}
             return params, opt_state, sim, key, metrics
 
         return update
 
-    def train(self, n_updates: int = 10, s0_spread: float = 50.0):
+    def train(self, n_updates: int = 10):
         key = self.rng
         key, reset_key = jax.random.split(key)
         s0 = jax.random.uniform(reset_key, (self.cfg.n_envs,),
-                                maxval=s0_spread)
-        sim = self.env.reset(s0=s0, speed0=2.0,
+                                maxval=self.cfg.s0_spread)
+        sim = self.env.reset(s0=s0, speed0=self.cfg.speed0,
                              batch_shape=(self.cfg.n_envs,))
         history = []
         for _ in range(n_updates):

@@ -63,6 +63,44 @@ def throughput(fn: Callable, *args, items: int, **kw) -> dict:
     return stats
 
 
+def chain_latency(fwd: Callable, x, c1: int = 64, c2: int = 1024,
+                  warmup: int = 2, iters: int = 10) -> float:
+    """Per-call ON-DEVICE latency of ``fwd(x)`` via the two-chain-length
+    slope.
+
+    ``chain`` sequentially-dependent forwards run inside ONE jitted call
+    (the data dependency — input perturbed by the running checksum — stops
+    XLA from parallelizing the chain); the remote tunnel's ~25 ms RTT and
+    any fixed dispatch cost cancel in (T(c2) - T(c1)) / (c2 - c1). A single
+    wall-clock/batch measurement does NOT cancel them and over-reports
+    sub-ms latencies ~20x through the tunnel (bench.py round-1 lesson).
+    """
+    import jax.numpy as jnp
+
+    def chained(chain):
+        def run(xx):
+            def body(_, acc):
+                y = fwd(xx + 1e-20 * acc)
+                return acc + jnp.sum(y)
+
+            return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
+        return jax.jit(run)
+
+    def med(f):
+        for _ in range(warmup):
+            float(f(x))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(f(x))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1, t2 = med(chained(c1)), med(chained(c2))
+    return (t2 - t1) / (c2 - c1)
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "./jax_trace"):
     """jax profiler trace context (view with TensorBoard / xprof)."""

@@ -25,15 +25,16 @@ import jax.numpy as jnp
 
 from irbfn_tpu.dynamics.spiral import sample_path
 from irbfn_tpu.solvers import solve_g1_lattice
-from irbfn_tpu.utils.profiling import throughput
+from irbfn_tpu.utils.profiling import chain_latency
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=500)
-    p.add_argument("--iters", type=int, default=50)
     p.add_argument("--config_f", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--c2", type=int, default=1024,
+                   help="long chain length for the latency slope")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
@@ -45,29 +46,25 @@ def main():
         from irbfn_tpu.train import load_model
 
         model, params, _ = load_model(args.config_f, args.ckpt)
-        net = jax.jit(lambda g: jnp.sum(
-            model.apply({"params": params["params"]}, g)))
+        net = lambda g: model.apply({"params": params["params"]}, g)  # noqa: E731
     else:
         net = None
 
-    results = {}
-    solver_fn = jax.jit(lambda g: jnp.sum(solve_g1_lattice(g)))
-    results["clothoid_solver"] = throughput(
-        solver_fn, goals, items=args.batch, iters=args.iters, sync="fetch")
-
-    full_fn = jax.jit(lambda g: jnp.sum(
-        sample_path(solve_g1_lattice(g), n_points=9)))
-    results["solve_plus_integrate"] = throughput(
-        full_fn, goals, items=args.batch, iters=args.iters, sync="fetch")
-
+    # two-chain-length slope: a remote tunnel's ~25 ms RTT swamps a plain
+    # wall-clock/batch measurement (it reports RTT, not the op)
+    paths = {"clothoid_solver": solve_g1_lattice,
+             "solve_plus_integrate":
+                 lambda g: sample_path(solve_g1_lattice(g), n_points=9)}
     if net is not None:
-        results["net_forward"] = throughput(
-            net, goals, items=args.batch, iters=args.iters, sync="fetch")
+        paths["net_forward"] = net
 
-    for name, stats in results.items():
-        print(f"{name}: {stats['items_per_s']:,.0f} trajs/s "
-              f"({1e3 * stats['median_s']:.3f} ms / batch-{args.batch})")
-    print(json.dumps({k: v["items_per_s"] for k, v in results.items()}))
+    results = {}
+    for name, fwd in paths.items():
+        per_call = chain_latency(fwd, goals, c2=args.c2)
+        results[name] = args.batch / per_call
+        print(f"{name}: {results[name]:,.0f} trajs/s "
+              f"({1e6 * per_call:.1f} us / batch-{args.batch} on-device)")
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

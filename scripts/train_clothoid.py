@@ -14,6 +14,7 @@ import argparse
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -26,12 +27,15 @@ enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
+from irbfn_tpu.dynamics import integrate_endpoint_gl
 from irbfn_tpu.models import WCRBFNet, get_basis
 from irbfn_tpu.models.fit import (choose_centers, data_scale, device_table,
                                   fit_direct, fit_per_region)
 from irbfn_tpu.models.wcrbf import build_region_bounds
-from irbfn_tpu.train import (create_train_state, region_spec_from_table,
-                             save_checkpoint, save_config)
+from irbfn_tpu.train import (clothoid_endpoint_loss, create_train_state,
+                             make_train_step, region_spec_from_table,
+                             restore_params, save_checkpoint, save_config,
+                             train_epochs)
 
 
 def main():
@@ -49,6 +53,16 @@ def main():
                    choices=["shared", "per_region"])
     p.add_argument("--reg", type=float, default=1e-5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--finetune_epochs", type=int, default=0,
+                   help="Adam epochs on the endpoint loss after the "
+                        "closed-form fit (reweights long-arc rows where "
+                        "d(endpoint)/dk ~ s^2/2 amplifies param error)")
+    p.add_argument("--finetune_lr", type=float, default=1e-4)
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--end_weight", type=float, default=4.0)
+    p.add_argument("--resume", action="store_true",
+                   help="skip the closed-form fit; fine-tune from the "
+                        "existing run_name checkpoint")
     args = p.parse_args()
 
     data = np.load(args.lut_path)
@@ -102,40 +116,70 @@ def main():
         activation_idx=activation_idx)
     t0 = time.time()
     basis = get_basis(args.basis_function)
-    if args.fit_mode == "per_region":
-        fit = fit_per_region(inputs, outputs, centers, log_sigs,
+    if args.resume:
+        restored = restore_params(ckpt_dir)  # -> {"params": {...}}
+        params = dict(jax.tree.map(jnp.asarray, restored["params"]))
+        print(f"resumed from {ckpt_dir}")
+    else:
+        if args.fit_mode == "per_region":
+            fit = fit_per_region(inputs, outputs, centers, log_sigs,
+                                 jnp.asarray(lb), jnp.asarray(ub),
+                                 jnp.asarray(delta), tuple(activation_idx),
+                                 basis, reg=args.reg,
+                                 input_scale=input_scale,
+                                 x_dev=x_dev, y_dev=y_dev)
+        else:
+            fit = fit_direct(inputs, outputs, centers, log_sigs,
                              jnp.asarray(lb), jnp.asarray(ub),
                              jnp.asarray(delta), tuple(activation_idx),
-                             basis, reg=args.reg, input_scale=input_scale,
-                             x_dev=x_dev, y_dev=y_dev)
-    else:
-        fit = fit_direct(inputs, outputs, centers, log_sigs,
-                         jnp.asarray(lb), jnp.asarray(ub),
-                         jnp.asarray(delta), tuple(activation_idx),
-                         basis, reg=args.reg, input_scale=input_scale)
-    print(f"direct fit in {time.time() - t0:.1f}s")
-
-    params = dict(state.params["params"])
-    params["core"] = {"centers": fit.centers, "log_sigs": fit.log_sigs}
-    params["head"] = {"kernel": fit.weights, "bias": fit.bias}
+                             basis, reg=args.reg, input_scale=input_scale)
+        print(f"direct fit in {time.time() - t0:.1f}s")
+        params = dict(state.params["params"])
+        params["core"] = {"centers": fit.centers, "log_sigs": fit.log_sigs}
+        params["head"] = {"kernel": fit.weights, "bias": fit.bias}
     state = state.replace(params={"params": params})
+
+    if args.finetune_epochs > 0:
+        steps_per_epoch = max(1, inputs.shape[0] // args.batch)
+        state = create_train_state(
+            model, jax.random.PRNGKey(args.seed), jnp.ones((8, 3),
+            jnp.float32), lr=args.finetune_lr,
+            decay_steps=args.finetune_epochs * steps_per_epoch).replace(
+                params={"params": params})
+        loss = partial(clothoid_endpoint_loss, end_weight=args.end_weight)
+        step_fn = make_train_step(loss, None)
+        t0 = time.time()
+        state, _ = train_epochs(
+            state, step_fn, inputs, outputs, batch_size=args.batch,
+            epochs=args.finetune_epochs, rng=jax.random.PRNGKey(args.seed),
+            log_fn=lambda s, m: print(
+                f"  step {s}: loss {float(m.loss):.4f} "
+                f"param {float(m.pred_loss):.4f} "
+                f"endpoint {float(m.int_loss):.4f}", flush=True),
+            log_every=200)
+        print(f"fine-tuned {args.finetune_epochs} epochs "
+              f"in {time.time() - t0:.1f}s")
+
     save_checkpoint(ckpt_dir, state, step=0)
     print(f"checkpoint at {ckpt_dir}")
 
-    # strided L1 probe over true rows (x_dev is zero-padded; see
+    # strided probes over true rows (x_dev is zero-padded; see
     # train_frenet.py — plain slices would average padding rows)
+    apply = jax.jit(lambda p, xb: model.apply({"params": p["params"]}, xb))
     n_rows = inputs.shape[0]
     n_probe = min(65536, n_rows)
     stride = max(n_rows // n_probe, 1)
     idx_all = np.arange(0, n_rows, stride)[:n_probe]
-    l1_sum, n_seen = 0.0, 0
+    l1_sum, end_sum, n_seen = 0.0, 0.0, 0
     for i0 in range(0, idx_all.size, 8192):
         idx = jnp.asarray(idx_all[i0:i0 + 8192])
-        pred = fit.predict(x_dev[idx], jnp.asarray(lb), jnp.asarray(ub),
-                           jnp.asarray(delta), tuple(activation_idx), basis)
+        pred = apply(state.params, x_dev[idx])
         l1_sum += float(jnp.abs(pred - y_dev[idx]).sum())
+        end = integrate_endpoint_gl(pred)
+        end_sum += float(jnp.abs(end[:, :2] - x_dev[idx][:, :2]).sum())
         n_seen += int(idx.size)
-    print(f"spiral-param L1 {l1_sum / (n_seen * 5):.5f} "
+    print(f"spiral-param L1 {l1_sum / (n_seen * 5):.5f}  "
+          f"endpoint xy L1 {end_sum / (n_seen * 2):.5f} "
           f"(on {n_seen:,} strided rows)")
 
 
