@@ -90,13 +90,24 @@ def region_activation(x, lb, ub, delta, activation_idx):
 
 
 def rbf_distances(x, centers, log_sigs, input_scale=None):
-    """Scaled distances ``||x - c_rk|| / exp(log_sig_rk)`` via matmul.
+    """Scaled distances ``||x - c_rk|| / exp(log_sig_rk)``, direct form.
 
     ``input_scale``: optional (F,) per-dimension metric weights — distances
     become ``||s * (x - c)||`` (anisotropic). Without it, raw-unit Euclidean
     distance lets the widest-ranged input dominate and dims with small
     numeric range (e.g. path curvature, +-0.45, vs velocity, 1-8) become
     invisible to isotropic kernels.
+
+    d^2 is accumulated DIRECTLY as sum_f (x_f - c_f)^2, unrolled over the
+    (small) feature axis — exact f32 on the VPU. The x^2 - 2xc + c^2 matmul
+    trick is both numerically and physically wrong here: it cancels
+    catastrophically when ||x - c|| << ||x|| (direct-fit weight banks are
+    ill-conditioned with large cancelling coefficients that amplify d^2
+    error ~1e4x — the TPU's default bf16 matmul passes produced garbage
+    predictions at serve time, and even a 6-pass HIGHEST einsum leaves
+    ~5e-6 relative error vs the direct form's 3e-7), and an F~8
+    contraction is a degenerate MXU shape (measured 83 us HIGHEST-einsum
+    vs 56 us direct for (1024, 16, 512, 8) — the "fast" matmul loses).
 
     Args:
         x: (B, F); centers: (R, K, F); log_sigs: (R, K)
@@ -107,18 +118,11 @@ def rbf_distances(x, centers, log_sigs, input_scale=None):
         s = jnp.asarray(input_scale, x.dtype)
         x = x * s
         centers = centers * s
-    x_sq = jnp.sum(x * x, axis=-1)  # (B,)
-    c_sq = jnp.sum(centers * centers, axis=-1)  # (R, K)
-    # HIGHEST precision is load-bearing: the TPU's default bf16 matmul
-    # passes perturb d^2 by ~1e-2, and direct-fit weights (ill-conditioned
-    # gaussian grams, large cancelling coefficients) amplify that into
-    # garbage predictions at serve time — a fit whose gram was accumulated
-    # in f32 (fit.py:gram) must be EVALUATED with f32 distances too.
-    cross = jnp.einsum("bf,rkf->brk", x, centers,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32
-                       if x.dtype == jnp.bfloat16 else None)
-    sq = x_sq[:, None, None] - 2.0 * cross + c_sq[None]
+    sq = jnp.zeros(x.shape[:1] + centers.shape[:2],
+                   jnp.promote_types(x.dtype, jnp.float32))
+    for f in range(x.shape[-1]):
+        df = x[:, f][:, None, None] - centers[None, :, :, f]
+        sq = sq + df * df
     d = jnp.sqrt(jnp.maximum(sq, 1e-30))
     return d / jnp.exp(log_sigs)[None]
 
@@ -234,7 +238,13 @@ class WCRBFNet(nn.Module):
             input_scale=self.input_scale,
             head_mode=self.head_mode,
         )
-        self.head = nn.Dense(self.out_features)
+        # HIGHEST precision on the head is load-bearing for direct fits:
+        # the (B, R*K+R) @ (R*K+R, O) contraction carries large CANCELLING
+        # closed-form coefficients, and the TPU's default bf16 multiply
+        # passes perturb the blended output by ~0.1 mean (measured vs f64
+        # on the flagship 16x512 fit)
+        self.head = nn.Dense(self.out_features,
+                             precision=jax.lax.Precision.HIGHEST)
 
     def __call__(self, x):
         gamma = region_activation(x, self._lb, self._ub,

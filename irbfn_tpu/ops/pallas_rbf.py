@@ -10,6 +10,7 @@ further by keeping the entire (TILE_B, R, K) intermediate in VMEM — the
   for each batch tile (grid dim 0):
       load x tile (TILE_B, F), gamma tile (TILE_B, R)  [VMEM]
       for r in regions:                 (statically unrolled)
+          # x, C pre-shifted by the global center mean (wrapper)
           d2   = ||x||^2 - 2 x C_r^T + ||C_r||^2     <- MXU matmul
           feat += gamma[:, r] * basis(sqrt(d2)/sig_r)
       out = feat @ W + b                               <- MXU matmul
@@ -41,7 +42,8 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _rbf_kernel(x_ref, gamma_ref, centers_ref, inv_sigs_ref, w_ref, b_ref,
+def _rbf_kernel(x_ref, gamma_ref, centers_ref, csq_ref,
+                inv_sigs_ref, w_ref, b_ref,
                 out_ref, *, basis_fn, num_regions, per_region):
     """Kernel body: per-region RBF features, gamma-blended, linear head(s).
 
@@ -55,7 +57,7 @@ def _rbf_kernel(x_ref, gamma_ref, centers_ref, inv_sigs_ref, w_ref, b_ref,
     matmul moves inside the region loop — out = sum_r gamma_r (phi_r W_r +
     b_r), the WCRBFNet(head_mode="per_region") forward.
     """
-    x = x_ref[:]  # (TB, F)
+    x = x_ref[:]  # (TB, F), pre-shifted by the global center mean
     gamma = gamma_ref[:]  # (TB, R)
     x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (TB, 1)
 
@@ -65,12 +67,22 @@ def _rbf_kernel(x_ref, gamma_ref, centers_ref, inv_sigs_ref, w_ref, b_ref,
     acc = jnp.zeros((x.shape[0], out_ref.shape[1]), jnp.float32)
     feat = jnp.zeros((x.shape[0], w_ref.shape[-2]), jnp.float32)
     for r in range(num_regions):
-        c = centers_ref[r]  # (K, F)
+        c = centers_ref[r]  # (K, F), pre-shifted by the global center mean
         inv_sig = inv_sigs_ref[r]  # (K,)
-        c_sq = jnp.sum(c * c, axis=-1)  # (K,)
+        # MEAN-SHIFTED matmul form: both x and c arrive shifted by the
+        # GLOBAL center mean (wrapper), so d^2 = ||x||^2 - 2 x c^T + ||c||^2
+        # has every term O(data spread^2), not O(raw magnitude^2). The
+        # unshifted form cancels catastrophically when ||x - c|| << ||x||
+        # (direct-fit weight banks amplify d^2 error ~1e4x into the outputs,
+        # see models/wcrbf.py:rbf_distances); the shifted HIGHEST MXU matmul
+        # is near-exact and ~2x faster than the exact VPU direct form
+        # (feature-unrolled broadcast subtract starves the VPU at K=512).
+        # (HIGHEST is the only elevated dot precision Mosaic lowers —
+        # Precision.HIGH raises NotImplementedError in the TPU backend)
         cross = jnp.dot(x, c.T, precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
-        d = jnp.sqrt(jnp.maximum(x_sq - 2.0 * cross + c_sq[None, :], 1e-30))
+        d2 = x_sq - 2.0 * cross + csq_ref[r][None, :]
+        d = jnp.sqrt(jnp.maximum(d2, 1e-30))
         phi = basis_fn(d * inv_sig[None, :])  # (TB, K)
         gphi = gamma[:, r][:, None] * phi
         if per_region:
@@ -123,8 +135,14 @@ def wcrbf_forward_pallas(x, centers, log_sigs, lb, ub, delta, w, b,
     Rp = _round_up(R, 8)  # sublane padding for the (TB, R) gamma block
 
     f32 = jnp.float32
-    xp = jnp.zeros((Bp, Fp), f32).at[:B, :F].set(x.astype(f32))
-    cp = jnp.zeros((R, Kp, Fp), f32).at[:, :K, :F].set(centers.astype(f32))
+    # global center-mean shift (see _rbf_kernel): x and centers both arrive
+    # shifted, so the kernel's matmul-form d^2 never cancels on the data's
+    # offset means. One subtraction each, done here where XLA fuses it.
+    mean = jnp.mean(centers.astype(f32), axis=(0, 1))  # (F,)
+    c_sh = centers.astype(f32) - mean[None, None, :]
+    xp = jnp.zeros((Bp, Fp), f32).at[:B, :F].set(x.astype(f32) - mean[None, :])
+    cp = jnp.zeros((R, Kp, Fp), f32).at[:, :K, :F].set(c_sh)
+    csq = jnp.zeros((R, Kp), f32).at[:, :K].set(jnp.sum(c_sh * c_sh, axis=-1))
     # padded kernels: keep centers 0 but give them huge distance via sig so
     # phi(pad) contributes ~0 for decaying bases; safer: zero head weights
     inv_s = jnp.zeros((R, Kp), f32).at[:, :K].set(
@@ -166,7 +184,9 @@ def wcrbf_forward_pallas(x, centers, log_sigs, lb, ub, delta, w, b,
             pl.BlockSpec((tile_b, Rp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),  # gamma tile
             pl.BlockSpec((R, Kp, Fp), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),  # centers
+                         memory_space=pltpu.VMEM),  # shifted centers
+            pl.BlockSpec((R, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # ||c - mean||^2
             pl.BlockSpec((R, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             w_spec,
             b_spec,
@@ -175,7 +195,7 @@ def wcrbf_forward_pallas(x, centers, log_sigs, lb, ub, delta, w, b,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, Op), f32),
         interpret=interpret,
-    )(xp, gp, cp, inv_s, wp, bp)
+    )(xp, gp, cp, csq, inv_s, wp, bp)
     return out[:B, :O]
 
 

@@ -59,8 +59,9 @@ def _pallas_vmem_bytes(model, tile_b: int = 128) -> int:
 def _make_apply(model, params, use_pallas):
     """Net forward for the plan step: the flax/XLA path, or the fused
     Pallas kernel (ops/pallas_rbf.py — keeps the (B, R, K) basis tensor in
-    VMEM; 2.6x faster than the XLA path on v5e, 7.5 us vs 19 us at
-    batch 1024). Pallas serves plain WCRBFNet (linear head) only.
+    VMEM; 1.8x faster than the XLA path on v5e, 12.6 us vs 23.3 us at
+    batch 1024 with serve-accurate f32 distances + HIGHEST head).
+    Pallas serves plain WCRBFNet (linear head) only.
 
     ``use_pallas``: True / False / "auto" (default in planners) — auto
     serves through the fused kernel when the backend is a TPU and the model

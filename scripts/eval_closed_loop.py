@@ -163,6 +163,11 @@ def main():
     p.add_argument("--speed_scale", type=float, default=1.0,
                    help="scale the raceline speed profile (run a track "
                         "below its racing speeds)")
+    p.add_argument("--oval_scale", type=float, default=1.0,
+                   help="scale the synthetic oval's size (no --map_dir); "
+                        "curvature scales as 1/oval_scale — e.g. 3.0 keeps "
+                        "|curv| <= 0.1, matching the reference-parity "
+                        "table's curv grid")
     p.add_argument("--half_width", type=float, default=2.0,
                    help="corridor half width; leaving it fails the trial")
     p.add_argument("--max_retries", type=int, default=2,
@@ -203,7 +208,9 @@ def main():
 
         track, omap = load_track_bundle(args.map_dir, prefer=args.line)
     else:
-        track = oval_track(n_samples=512, speed=3.0)
+        track = oval_track(length=30.0 * args.oval_scale,
+                           width=15.0 * args.oval_scale,
+                           n_samples=512, speed=3.0)
     if args.speed_scale != 1.0:
         rl0 = track.raceline
         track = track._replace(raceline=rl0._replace(

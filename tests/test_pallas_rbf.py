@@ -72,3 +72,47 @@ def test_pallas_matches_flax_per_region_head():
                                basis_fn=get_basis("gaussian"),
                                tile_b=64, interpret=True)
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_distance_cancellation_regime():
+    """Distances on data with a LARGE offset mean (||x|| >> ||x - c||): the
+    regime where the naive x^2 - 2xc + c^2 matmul form cancels
+    catastrophically in f32. Both serving paths — flax ``rbf_distances``
+    (direct form) and the Pallas kernel (mean-shifted matmul) — must stay
+    within ~1e-5 relative of an f64 reference here; the unshifted matmul
+    form errs ~1e-2 and silently corrupts direct-fit nets at serve time."""
+    rng = np.random.default_rng(7)
+    R, K, F, B = 2, 16, 8, 64
+    mean = 100.0 * rng.normal(size=(F,))
+    c = (mean[None, None] + 0.1 * rng.normal(size=(R, K, F))).astype(np.float32)
+    x = (mean[None] + 0.1 * rng.normal(size=(B, F))).astype(np.float32)
+    log_sigs = np.zeros((R, K), np.float32)
+
+    d_ref = np.sqrt(((x.astype(np.float64)[:, None, None]
+                      - c.astype(np.float64)[None]) ** 2).sum(-1))
+
+    from irbfn_tpu.models.wcrbf import rbf_distances
+    d_xla = np.asarray(rbf_distances(jnp.asarray(x), jnp.asarray(c),
+                                     jnp.asarray(log_sigs)))
+    np.testing.assert_allclose(d_xla, d_ref, rtol=2e-5)
+
+    # pallas path: gaussian phi = exp(-d^2) with unit sigs; single region
+    # gate covering everything isolates the distance computation
+    model = WCRBFNet(
+        in_features=F, out_features=K, num_kernels=K,
+        basis_func=get_basis("gaussian"), num_regions=R,
+        lower_bounds=[[-1e30]], upper_bounds=[[1e30]],
+        dimension_ranges=[[0, 0], [0, 0]],
+        activation_idx=[0], delta=[1.0])
+    params = {"params": {
+        "core": {"centers": jnp.asarray(c), "log_sigs": jnp.asarray(log_sigs)},
+        "head": {"kernel": jnp.eye(K, dtype=jnp.float32),
+                 "bias": jnp.zeros((K,), jnp.float32)}}}
+    ops = wcrbf_params_to_pallas(params, model)
+    out = wcrbf_forward_pallas(jnp.asarray(x), *ops,
+                               basis_fn=get_basis("gaussian"),
+                               tile_b=64, interpret=True)
+    # out = sum_r gamma_r exp(-d_r^2) @ I = 2 * exp(-d^2) summed over the two
+    # identical-gate regions' phis -> compare against the f64 blend
+    gref = np.exp(-d_ref ** 2).sum(1)
+    np.testing.assert_allclose(np.asarray(out), gref, rtol=2e-4, atol=1e-6)
