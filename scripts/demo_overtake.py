@@ -54,6 +54,12 @@ def main():
     p.add_argument("--grid", type=int, nargs=3, default=[8, 9, 5],
                    help="lattice goal grid (n_lon, n_lat, n_theta)")
     p.add_argument("--out", type=str, default="overtake_demo.png")
+    p.add_argument("--from_scan", action="store_true",
+                   help="plan from the ego's own lidar (agent-aware scan, "
+                        "base_classes.py:210-231) instead of the opponent's "
+                        "privileged pose: scan hits become the lattice "
+                        "planner's obstacle points")
+    p.add_argument("--n_beams", type=int, default=64)
     args = p.parse_args()
 
     omap = None
@@ -66,7 +72,17 @@ def main():
     rl = track.raceline
     params = f1tenth_params(dtype=jnp.float32)
     wheelbase = float(params.lf + params.lr)
-    env = MultiAgentEnv(track, params, n_agents=2, collision_model="rect")
+    scan_spec = None
+    scan_angles = None
+    if args.from_scan:
+        from irbfn_tpu.sim.map import ScanSpec
+
+        scan_spec = ScanSpec(n_beams=args.n_beams, fov=4.7)
+        scan_angles = jnp.linspace(-scan_spec.fov / 2, scan_spec.fov / 2,
+                                   scan_spec.n_beams, dtype=jnp.float32)
+    env = MultiAgentEnv(track, params, n_agents=2, collision_model="rect",
+                        occ_map=omap if args.from_scan else None,
+                        scan_spec=scan_spec)
 
     goals = sample_lookahead_grid(args.lookahead, half_width=1.2,
                                   n_lon=args.grid[0], n_lat=args.grid[1],
@@ -83,7 +99,7 @@ def main():
         v_goal = interp_wrapped(rl.ss, rl.vxs, s_t, rl.length) * speed_scale
         return steer, v_goal
 
-    def control(x, s_agents):
+    def control(x, s_agents, scan=None):
         """x (2, 7) agent states [ego, lead] -> (2, 2) [accel, steer_vel]."""
         px, py, delta, v, psi = (x[:, 0], x[:, 1], x[:, 2], x[:, 3], x[:, 4])
 
@@ -97,15 +113,28 @@ def main():
         s_t = s_agents[0] + args.lookahead
         tx, ty, _ = frenet_to_cartesian(rl, s_t, jnp.zeros(()), jnp.zeros(()))
         target = jnp.stack(_to_local(psi[0], tx - px[0], ty - py[0]))
-        heading_l = jnp.stack([jnp.cos(psi[1]), jnp.sin(psi[1])])
-        opp = px[1], py[1]
-        discs = jnp.stack([
-            jnp.stack([opp[0] + params.lf * heading_l[0],
-                       opp[1] + params.lf * heading_l[1]]),
-            jnp.stack([opp[0] - params.lr * heading_l[0],
-                       opp[1] - params.lr * heading_l[1]])])  # (2, 2) world
-        ox, oy = _to_local(psi[0], discs[:, 0] - px[0], discs[:, 1] - py[0])
-        obstacles = jnp.stack([ox, oy], axis=-1)
+        if args.from_scan:
+            # perception-driven: the ego's own lidar returns (which already
+            # include the opponent's footprint via ray_cast_footprints)
+            # become obstacle points in the ego body frame; open-space
+            # beams are parked far away so they never enter the clearance
+            r = scan[0]  # (B,)
+            hit = r < scan_spec.max_range * 0.99
+            pts = jnp.stack([r * jnp.cos(scan_angles),
+                             r * jnp.sin(scan_angles)], axis=-1)
+            obstacles = jnp.where(hit[:, None], pts, 1e6)
+        else:
+            # privileged: the lead's true axle-disc positions
+            heading_l = jnp.stack([jnp.cos(psi[1]), jnp.sin(psi[1])])
+            opp = px[1], py[1]
+            discs = jnp.stack([
+                jnp.stack([opp[0] + params.lf * heading_l[0],
+                           opp[1] + params.lf * heading_l[1]]),
+                jnp.stack([opp[0] - params.lr * heading_l[0],
+                           opp[1] - params.lr * heading_l[1]])])  # (2, 2)
+            ox, oy = _to_local(psi[0], discs[:, 0] - px[0],
+                               discs[:, 1] - py[0])
+            obstacles = jnp.stack([ox, oy], axis=-1)
         plan = plan_lattice(solve_g1_lattice, goals, target,
                             obstacle_xy=obstacles, n_path_points=9,
                             obstacle_radius=0.8)
@@ -132,7 +161,7 @@ def main():
     def rollout(state):
         def step_fn(st, _):
             obs = env.observe(st)
-            actions = control(st.x, obs["s"])
+            actions = control(st.x, obs["s"], obs.get("scan"))
             st = env.step(st, actions)
             return st, (st.x, obs["s"], st.collided)
 
@@ -186,7 +215,9 @@ def main():
                 label=f"overtake t={k * 0.1:.1f}s")
     ax.set_aspect("equal")
     ax.legend(loc="upper right")
-    ax.set_title("lattice-planner overtake (SAT rectangle collision)")
+    mode = "lidar-perceived" if args.from_scan else "privileged-pose"
+    ax.set_title(f"lattice-planner overtake, {mode} opponent "
+                 "(SAT rectangle collision)")
     fig.savefig(args.out, dpi=110, bbox_inches="tight")
     print(f"saved {args.out}")
 

@@ -109,6 +109,121 @@ def test_pairwise_rect_vs_disc_models():
     assert bool(pairwise_collisions(x, p, collision_model="discs").any())
 
 
+def test_ray_segment_distance_analytic():
+    from irbfn_tpu.sim.multi_agent import ray_segment_distance
+
+    va = jnp.asarray([5.0, -1.0])
+    vb = jnp.asarray([5.0, 1.0])
+    # straight ahead along +x: hits the vertical segment at x=5
+    d = ray_segment_distance(0.0, 0.0, 0.0, va, vb)
+    np.testing.assert_allclose(float(d), 5.0, rtol=1e-6)
+    # ray pointing away: miss
+    assert np.isinf(float(ray_segment_distance(0.0, 0.0, np.pi, va, vb)))
+    # ray that passes beside the segment: miss
+    assert np.isinf(float(ray_segment_distance(0.0, 2.0, 0.0, va, vb)))
+    # 45-degree hit on a long wall: sqrt(2) * 5
+    vaw = jnp.asarray([5.0, -20.0])
+    vbw = jnp.asarray([5.0, 20.0])
+    d45 = ray_segment_distance(0.0, 0.0, np.pi / 4, vaw, vbw)
+    np.testing.assert_allclose(float(d45), 5.0 * np.sqrt(2.0), rtol=1e-6)
+    # parallel (never intersects): miss
+    assert np.isinf(float(ray_segment_distance(0.0, 0.0, np.pi / 2, va, vb)))
+
+
+def test_ray_cast_footprints_opponent_ahead():
+    """Center beam of an agent looking straight at an opponent reads the
+    gap minus the opponent's rear half-length; side beams stay open."""
+    from irbfn_tpu.sim.map import ScanSpec
+    from irbfn_tpu.sim.multi_agent import ray_cast_footprints
+
+    L, W = 0.58, 0.31
+    spec = ScanSpec(n_beams=9, fov=np.pi / 2)
+    angles = jnp.linspace(-spec.fov / 2, spec.fov / 2, spec.n_beams)
+    x = jnp.zeros((2, 7)).at[1, 0].set(5.0)  # opponent 5 m dead ahead
+    base = jnp.full((2, 9), spec.max_range)
+    scan = np.asarray(ray_cast_footprints(x, base, angles, L, W))
+    np.testing.assert_allclose(scan[0, 4], 5.0 - L / 2, rtol=1e-5)
+    # widest beams (45 deg) miss the car
+    assert scan[0, 0] == spec.max_range and scan[0, -1] == spec.max_range
+    # the opponent looks backwards at the ego too (symmetric geometry)
+    np.testing.assert_allclose(scan[1, 4], spec.max_range)  # fov faces +x
+    # self-footprint never shortens a single agent's scan
+    solo = np.asarray(ray_cast_footprints(x[:1], base[:1], angles, L, W))
+    assert (solo == spec.max_range).all()
+
+
+def test_ray_cast_footprints_matches_loop_oracle():
+    """Random poses: the branchless all-pairs grid equals a per-(beam, edge)
+    loop port of the published ray-segment intersection (the gym's
+    get_range semantics, laser_models.py:316-346)."""
+    from irbfn_tpu.sim.multi_agent import (footprint_vertices,
+                                           ray_cast_footprints)
+
+    rng = np.random.default_rng(3)
+    L, W = 0.58, 0.31
+    A, B = 3, 21
+    x = np.zeros((A, 7))
+    x[:, 0] = rng.uniform(-3, 3, A)
+    x[:, 1] = rng.uniform(-3, 3, A)
+    x[:, 4] = rng.uniform(-np.pi, np.pi, A)
+    angles = np.linspace(-2.35, 2.35, B)
+    base = np.full((A, B), 30.0)
+    got = np.asarray(ray_cast_footprints(jnp.asarray(x), jnp.asarray(base),
+                                         jnp.asarray(angles), L, W))
+    verts = np.asarray(footprint_vertices(jnp.asarray(x), L, W))  # (A,4,2)
+    want = base.copy()
+    for i in range(A):
+        o = x[i, :2]
+        for b in range(B):
+            t = x[i, 4] + angles[b]
+            n = np.array([-np.sin(t), np.cos(t)])
+            for j in range(A):
+                if j == i:
+                    continue
+                for k in range(4):
+                    va = verts[j, k]
+                    vb = verts[j, (k + 1) % 4]
+                    v1, v2 = o - va, vb - va
+                    den = v2 @ n
+                    if abs(den) < 1e-12:
+                        continue
+                    d1 = (v2[0] * v1[1] - v2[1] * v1[0]) / den
+                    d2 = (v1 @ n) / den
+                    if d1 >= 0 and 0 <= d2 <= 1 and d1 < want[i, b]:
+                        want[i, b] = d1
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_multi_agent_scan_and_ttc_stop():
+    """An ego driving at a stopped opponent dead ahead emergency-brakes on
+    iTTC (gym check_ttc parity) before the rectangles ever touch."""
+    from irbfn_tpu.sim.map import ScanSpec
+    from irbfn_tpu.sim.track import oval_track
+
+    track = oval_track(n_samples=256, speed=3.0)
+    env = MultiAgentEnv(track, f1tenth_params(dtype=jnp.float64), n_agents=2,
+                        scan_spec=ScanSpec(n_beams=33, fov=4.7),
+                        enable_ttc=True, ttc_thresh=0.4)
+    st = env.reset(s0=jnp.asarray([0.0, 3.0]), speed0=0.0)
+    st = st._replace(x=st.x.at[0, 3].set(2.0))  # ego closes at 2 m/s
+    obs = env.observe(st)
+    assert obs["scan"].shape == (2, 33)
+    # ego's forward beam sees the opponent, not open space
+    assert float(obs["scan"][0].min()) < 3.0
+    hit_step = None
+    for k in range(20):
+        st = env.step(st, jnp.zeros((2, 2)))
+        if bool(st.collided[0]):
+            hit_step = k
+            break
+    assert hit_step is not None, "TTC never triggered"
+    # stopped by the safety check, not by rectangle contact: still a gap
+    gap = float(jnp.linalg.norm(st.x[1, :2] - st.x[0, :2]))
+    assert gap > 0.58  # more than a car length apart center-to-center
+    assert float(st.x[0, 3]) == 0.0  # velocity zeroed in place
+    assert not bool(st.collided[1])  # the parked opponent is untouched
+
+
 def test_footprint_clearance_orientation_sensitive():
     """A long narrow footprint fits a corridor lengthwise but collides
     crosswise — the single-disc proxy can't tell the difference."""
