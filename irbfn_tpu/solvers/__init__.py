@@ -11,6 +11,12 @@ from irbfn_tpu.solvers.clothoid import (
     solve_g1_lattice,
     wrap_angle,
 )
+from irbfn_tpu.solvers.goal_mpc import (
+    GoalMPCConfig,
+    GoalMPCSolution,
+    solve_goal_family,
+    solve_goal_mpc,
+)
 from irbfn_tpu.solvers.lm import LMResult, levenberg_marquardt
 from irbfn_tpu.solvers.nmpc import (
     cartesian_config,
@@ -25,6 +31,7 @@ from irbfn_tpu.solvers.nmpc import (
 
 __all__ = [
     "ClothoidSolution", "solve_g1_hermite", "solve_g1_lattice", "wrap_angle",
+    "GoalMPCConfig", "GoalMPCSolution", "solve_goal_family", "solve_goal_mpc",
     "LMResult", "levenberg_marquardt", "NMPCConfig", "NMPCSolution",
     "solve_lattice_point", "solve_nmpc_batch", "cartesian_config",
     "kinematic_config", "solve_cartesian_point", "solve_lattice_multi_params",

@@ -1,0 +1,174 @@
+"""Goal-MPC condensed QP: SLSQP oracle agreement + reference semantics.
+
+The oracle solves the SAME condensed problem (built from the family
+matrices, f64) with scipy SLSQP — an independent optimizer adjudicating the
+shared-factorization ADMM path (the reference's cvxpy/OSQP role,
+deprecated/goal_mpc_node.py:286-318).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+from irbfn_tpu.solvers.goal_mpc import (
+    GoalMPCConfig,
+    condensed_family,
+    solve_goal_family,
+    solve_goal_mpc,
+)
+
+CFG = GoalMPCConfig()
+
+
+def _oracle(v_car, goal, cfg=CFG):
+    """f64 SLSQP on the condensed QP; returns (U*, objective*)."""
+    fam = condensed_family(jnp.asarray(v_car, jnp.float64), cfg,
+                           dtype=jnp.float64)
+    P = np.asarray(fam.P)
+    g_rep = np.tile(np.asarray(goal, np.float64), cfg.horizon)
+    q = (np.asarray(fam.qw) * (np.asarray(fam.x_free) - g_rep)) @ np.asarray(
+        fam.Su)
+    A = np.asarray(fam.A_con)
+    lo, hi = np.asarray(fam.lo), np.asarray(fam.hi)
+
+    def f(u):
+        return 0.5 * u @ P @ u + q @ u
+
+    def fgrad(u):
+        return P @ u + q
+
+    cons = [
+        {"type": "ineq", "fun": lambda u: A @ u - lo, "jac": lambda u: A},
+        {"type": "ineq", "fun": lambda u: hi - A @ u, "jac": lambda u: -A},
+    ]
+    res = minimize(f, np.zeros(P.shape[0]), jac=fgrad, method="SLSQP",
+                   constraints=cons, options={"maxiter": 400, "ftol": 1e-12})
+    if not res.success:  # SLSQP occasionally stalls; the row is skipped
+        return None, None
+    return res.x, res.fun
+
+
+def _objective(v_car, goal, u, cfg=CFG):
+    fam = condensed_family(jnp.asarray(v_car, jnp.float64), cfg,
+                           dtype=jnp.float64)
+    g_rep = np.tile(np.asarray(goal, np.float64), cfg.horizon)
+    q = (np.asarray(fam.qw) * (np.asarray(fam.x_free) - g_rep)) @ np.asarray(
+        fam.Su)
+    P = np.asarray(fam.P)
+    u = np.asarray(u, np.float64)
+    return 0.5 * u @ P @ u + q @ u
+
+
+def test_goal_mpc_matches_slsqp_oracle():
+    """24 random lattice rows: ADMM objective within 1e-8 relative of SLSQP
+    (often BELOW it — negative gaps) and first controls within 1e-3."""
+    rng = np.random.default_rng(0)
+    n = 24
+    v_car = rng.uniform(-1.0, 8.0, n)
+    goals = np.stack([rng.uniform(-1.2, 4.0, n), rng.uniform(0.0, 4.0, n),
+                      rng.uniform(-1.0, 8.0, n),
+                      rng.uniform(-3.14, 3.14, n)], axis=1)
+    checked = 0
+    for i in range(n):
+        u_star, f_star = _oracle(v_car[i], goals[i])
+        if u_star is None:
+            continue
+        sol = solve_goal_family(jnp.asarray(v_car[i], jnp.float64),
+                                jnp.asarray(goals[None, i], jnp.float64),
+                                iters=1200)
+        f_admm = _objective(v_car[i], goals[i],
+                            np.asarray(sol.controls[0]).reshape(-1))
+        scale = max(abs(f_star), 1.0)
+        assert (f_admm - f_star) / scale < 1e-8, (i, f_admm, f_star)
+        np.testing.assert_allclose(float(sol.controls[0, 0, 0]),
+                                   u_star[0], atol=1e-3)
+        np.testing.assert_allclose(float(sol.controls[0, 0, 1]),
+                                   u_star[1], atol=1e-3)
+        assert bool(sol.converged[0])
+        checked += 1
+    assert checked >= 18, f"only {checked} oracle rows solved"
+
+
+def test_goal_mpc_constraints_respected():
+    """Aggressive goals: every constraint row holds at the ADMM solution."""
+    rng = np.random.default_rng(1)
+    n = 64
+    v_car = jnp.asarray(rng.uniform(-1.0, 8.0, n), jnp.float64)
+    goals = jnp.asarray(
+        np.stack([rng.uniform(-1.2, 4.0, n), rng.uniform(0.0, 4.0, n),
+                  rng.uniform(-1.0, 8.0, n), rng.uniform(-3.14, 3.14, n)],
+                 axis=1), jnp.float64)
+    inputs = jnp.stack([v_car, goals[:, 0], goals[:, 1], goals[:, 3],
+                        goals[:, 2]], axis=1)
+    sol = solve_goal_mpc(inputs, iters=1200)
+    u = np.asarray(sol.controls)  # (n, T, 2)
+    tol = 5e-3
+    assert np.all(np.abs(u[:, :, 0]) <= CFG.max_accel + tol)
+    assert np.all(np.abs(u[:, :, 1]) <= CFG.max_steer + tol)
+    dsteer = np.abs(np.diff(u[:, :, 1], axis=1))
+    assert np.all(dsteer <= CFG.max_dsteer * CFG.dt + tol)
+    # velocity rollout stays boxed
+    v_traj = np.asarray(v_car)[:, None] + CFG.dt * np.cumsum(u[:, :, 0],
+                                                             axis=1)
+    assert np.all(v_traj <= CFG.max_speed + tol)
+    assert np.all(v_traj >= CFG.min_speed - tol)
+
+
+def test_goal_mpc_reference_abi_semantics():
+    """Goal dead ahead at the current speed -> near-zero steer, speed ~
+    v_car; faster goal -> accelerate; lateral goal -> steer toward it.
+    Output ABI: speed = v_car + a_0 dt, steer = delta_0
+    (goal_mpc_node.py:96-98)."""
+    v = 3.0
+    ahead = jnp.asarray([[v, v * CFG.dt * CFG.horizon, 0.0, 0.0, v]],
+                        jnp.float64)
+    sol = solve_goal_mpc(ahead, iters=600)
+    np.testing.assert_allclose(float(sol.steer[0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(sol.speed[0]), v, atol=0.05)
+    np.testing.assert_allclose(
+        float(sol.speed[0]),
+        v + float(sol.controls[0, 0, 0]) * CFG.dt, rtol=1e-12)
+
+    faster = jnp.asarray([[1.0, 3.0, 0.0, 0.0, 6.0]], jnp.float64)
+    assert float(solve_goal_mpc(faster, iters=600).speed[0]) > 1.0
+
+    left = jnp.asarray([[3.0, 1.0, 2.0, 0.5, 3.0]], jnp.float64)
+    assert float(solve_goal_mpc(left, iters=600).steer[0]) > 0.01
+
+
+def test_goal_family_matches_row_solver():
+    """The shared-factorization family path equals the per-row vmapped path
+    (same v_car) — the datagen fast path is exact, not an approximation."""
+    rng = np.random.default_rng(2)
+    G = 32
+    goals = np.stack([rng.uniform(-1.2, 4.0, G), rng.uniform(0.0, 4.0, G),
+                      rng.uniform(-1.0, 8.0, G),
+                      rng.uniform(-3.14, 3.14, G)], axis=1)
+    v = 4.5
+    fam_sol = solve_goal_family(jnp.asarray(v, jnp.float64),
+                                jnp.asarray(goals, jnp.float64), iters=400)
+    inputs = np.concatenate([np.full((G, 1), v), goals[:, :2],
+                             goals[:, 3:4], goals[:, 2:3]], axis=1)
+    row_sol = solve_goal_mpc(jnp.asarray(inputs, jnp.float64), iters=400)
+    np.testing.assert_allclose(np.asarray(fam_sol.speed),
+                               np.asarray(row_sol.speed), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fam_sol.steer),
+                               np.asarray(row_sol.steer), atol=1e-10)
+
+
+def test_goal_mpc_f32_close_to_f64():
+    """The TPU-serving dtype tracks the f64 solution on first controls."""
+    rng = np.random.default_rng(3)
+    G = 64
+    goals = np.stack([rng.uniform(-1.2, 4.0, G), rng.uniform(0.0, 4.0, G),
+                      rng.uniform(-1.0, 8.0, G),
+                      rng.uniform(-3.14, 3.14, G)], axis=1)
+    v = 2.5
+    s64 = solve_goal_family(jnp.asarray(v, jnp.float64),
+                            jnp.asarray(goals, jnp.float64), iters=400)
+    s32 = solve_goal_family(jnp.asarray(v, jnp.float32),
+                            jnp.asarray(goals, jnp.float32), iters=400)
+    np.testing.assert_allclose(np.asarray(s32.steer), np.asarray(s64.steer),
+                               atol=3e-3)
+    np.testing.assert_allclose(np.asarray(s32.speed), np.asarray(s64.speed),
+                               atol=3e-3)
