@@ -38,3 +38,7 @@ from irbfn_tpu.planning.lattice import (  # noqa: E402
 
 __all__ += ["LatticePlan", "LatticePlanner", "plan_lattice",
             "sample_lookahead_grid"]
+
+from irbfn_tpu.planning.goal_planner import GoalMPCPlanner  # noqa: E402
+
+__all__ += ["GoalMPCPlanner"]

@@ -187,7 +187,18 @@ def solve_goal_family(v_car, goals, cfg: GoalMPCConfig = GoalMPCConfig(),
     iteration count (no per-row while_loop) keeps the batch a dense GEMM
     pipeline; ``converged`` reports the final inf-norm residuals against
     ``tol``.
+
+    Matmuls are pinned to exact-f32 precision: the TPU's default bf16 MXU
+    passes stall the iteration at r_prim ~1e-2 (15% convergence on the
+    reference lattice); exact f32 converges 100% with r_prim ~2e-6 at the
+    SAME measured throughput (~830k QPs/s/chip at 1200 iters) — these are
+    tiny-K GEMMs, nowhere near the MXU roofline either way.
     """
+    with jax.default_matmul_precision("float32"):
+        return _solve_goal_family_impl(v_car, goals, cfg, iters, sigma, tol)
+
+
+def _solve_goal_family_impl(v_car, goals, cfg, iters, sigma, tol):
     dtype = goals.dtype
     fam = condensed_family(v_car, cfg, dtype)
     n = fam.P.shape[0]

@@ -32,7 +32,8 @@ from irbfn_tpu.sim.track import interp_wrapped
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--planner",
-                   choices=["nmpc", "irbfn", "irbfn_cart", "pursuit"],
+                   choices=["nmpc", "irbfn", "irbfn_cart", "pursuit",
+                            "goal_mpc", "goal_mpc_net"],
                    default="nmpc")
     p.add_argument("--config_f", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
@@ -107,6 +108,33 @@ def main():
                                    obs.pose_theta, obs.delta,
                                    obs.linear_vel_x, obs.beta, obs.ang_vel_z)
             return jnp.stack([res.accel, res.steer_vel], axis=-1)
+    elif args.planner in ("goal_mpc", "goal_mpc_net"):
+        # waypoint-following goal MPC (reference goal_mpc_node.py /
+        # mpc_node.py): (speed, steer) actions through the gym's speed
+        # control mode. "goal_mpc" solves the QP live every step; "_net"
+        # serves the trained compression (train_goal_mpc.py ckpt)
+        from irbfn_tpu.planning import GoalMPCPlanner
+
+        if args.planner == "goal_mpc_net":
+            from irbfn_tpu.train import load_model
+
+            if not args.config_f:
+                raise SystemExit("goal_mpc_net requires --config_f/--ckpt")
+            model, params, conf = load_model(args.config_f, args.ckpt)
+            planner = GoalMPCPlanner(track, model,
+                                     {"params": params["params"]})
+        else:
+            planner = GoalMPCPlanner(track)
+        env = TrackEnv(track, f1tenth_params(dtype=jnp.float32),
+                       occ_map=env.occ_map, car_radius=env.car_radius,
+                       control_dt=args.control_dt, control_mode="speed")
+        sim = env.reset(s0=0.0, speed0=1.0, batch_shape=(1,))
+
+        def policy(obs):
+            speed, steer = planner.plan_batch(obs.pose_x, obs.pose_y,
+                                              obs.pose_theta,
+                                              obs.linear_vel_x)
+            return jnp.stack([speed, steer], axis=-1)
     elif args.planner == "nmpc":
         solver_params = fullscale_params(dtype=jnp.float32)
         cfg = NMPCConfig(gn_iters=25, al_outer=3)

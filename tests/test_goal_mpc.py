@@ -172,3 +172,31 @@ def test_goal_mpc_f32_close_to_f64():
                                atol=3e-3)
     np.testing.assert_allclose(np.asarray(s32.speed), np.asarray(s64.speed),
                                atol=3e-3)
+
+
+def test_goal_mpc_planner_closed_loop_oval():
+    """Solver-backed GoalMPCPlanner drives the oval through the gym's speed
+    control mode (the reference node's deployment shape,
+    goal_mpc_node.py + mpc_node.py) with small tracking error."""
+    from irbfn_tpu.dynamics.params import f1tenth_params
+    from irbfn_tpu.planning import GoalMPCPlanner
+    from irbfn_tpu.sim import TrackEnv, deviation_metrics, oval_track
+
+    track = oval_track(n_samples=256, speed=2.5)
+    env = TrackEnv(track, f1tenth_params(dtype=jnp.float32),
+                   control_mode="speed")
+    planner = GoalMPCPlanner(track, iters=300)
+    sim = env.reset(s0=0.0, speed0=1.0, batch_shape=(1,))
+
+    def policy(obs):
+        speed, steer = planner.plan_batch(obs.pose_x, obs.pose_y,
+                                          obs.pose_theta, obs.linear_vel_x)
+        return jnp.stack([speed, steer], axis=-1)
+
+    final, traj = env.rollout(sim, policy, n_steps=120)
+    assert not bool(final.done[0])
+    prog = float(final.s[0] - sim.s[0])
+    assert prog > 20.0, f"only {prog:.1f} m progress"
+    ey_mean, _ = deviation_metrics(traj)
+    ey_mean = float(np.asarray(ey_mean).mean())
+    assert ey_mean < 0.15, f"mean|ey| {ey_mean:.3f}"
