@@ -241,6 +241,183 @@ def _solve_goal_family_impl(v_car, goals, cfg, iters, sigma, tol):
     return GoalMPCSolution(speed, steer, controls, r_prim, r_dual, converged)
 
 
+@partial(jax.jit, static_argnames=("cfg", "iters"))
+def solve_tracking_mpc(x0, ref_traj, path_predict,
+                       cfg: GoalMPCConfig = GoalMPCConfig(),
+                       iters: int = 600, sigma: float = 1e-6,
+                       tol: float = 2e-3) -> GoalMPCSolution:
+    """LTV trajectory-tracking kinematic MPC, batched over rows.
+
+    The reference's waypoint-tracking node (deprecated/mpc_node.py:65-350):
+    per-step linearization at (v_t, phi_t) from ``path_predict`` with the
+    nonzero affine C term (get_model_matrix, :251-284), per-step references
+    from ``ref_traj``, same cost/constraint family as the goal MPC but with
+    MIN_SPEED = 0 (:49 — the tracker never reverses).
+
+    Args:
+        x0: (..., 4) initial state [x, y, v, yaw].
+        ref_traj: (..., T+1, 4) reference states (column 0 is dropped — a
+            constant w.r.t. U, matching the cvxpy objective's xk[:, 0]).
+        path_predict: (..., T, 4) operating points; only v (col 2) and
+            yaw (col 3) enter the model matrices (mpc_prob_solve :292-296).
+    Returns:
+        GoalMPCSolution (speed/steer first-step ABI + full control plan).
+
+    TPU-first: the LTV condensation (static T-step loops of (..., 4, 4)
+    batched matmuls), the per-row 16x16 KKT inverse, and the ADMM sweeps
+    are all natively batched over leading axes — one device dispatch for
+    any number of tracking problems (the reference: one OSQP per call).
+    """
+    with jax.default_matmul_precision("float32"):
+        return _solve_tracking_impl(x0, ref_traj, path_predict, cfg, iters,
+                                    sigma, tol)
+
+
+def _solve_tracking_impl(x0, ref_traj, path_predict, cfg, iters, sigma, tol):
+    dtype = x0.dtype
+    T = cfg.horizon
+    nx, nu = 4, 2
+    n = T * nu
+    batch = x0.shape[:-1]
+    dt = jnp.asarray(cfg.dt, dtype)
+    wb = cfg.wheelbase
+
+    v_seq = path_predict[..., 2]  # (..., T)
+    phi_seq = path_predict[..., 3]
+
+    def model_mats(v, phi):
+        """get_model_matrix at delta=0 (mpc_node.py:251-284), batched."""
+        z = jnp.zeros_like(v)
+        o = jnp.ones_like(v)
+        co, si = jnp.cos(phi), jnp.sin(phi)
+        A = jnp.stack([
+            jnp.stack([o, z, dt * co, -dt * v * si], -1),
+            jnp.stack([z, o, dt * si, dt * v * co], -1),
+            jnp.stack([z, z, o, z], -1),
+            jnp.stack([z, z, z, o], -1)], -2)  # (..., 4, 4); tan(0)/wb = 0
+        B = jnp.stack([
+            jnp.stack([z, z], -1), jnp.stack([z, z], -1),
+            jnp.stack([dt * o, z], -1),
+            jnp.stack([z, dt * v / wb], -1)], -2)  # (..., 4, 2)
+        C = jnp.stack([dt * v * si * phi, -dt * v * co * phi, z, z], -1)
+        return A, B, C
+
+    A_t = [None] * T
+    B_t = [None] * T
+    C_t = [None] * T
+    for t in range(T):
+        A_t[t], B_t[t], C_t[t] = model_mats(v_seq[..., t], phi_seq[..., t])
+
+    # condense: x_k = Phi_k x0 + sum_j Phi_{k-1..j+1} (B_j u_j + C_j)
+    Su_blocks = [[None] * T for _ in range(T)]  # [k-1][j]
+    x_aff = [None] * T  # Phi_k x0 + accumulated C
+    phi_x = x0
+    for k in range(T):
+        # advance affine part: x_{k+1}^aff = A_k x^aff + C_k
+        phi_x = jnp.einsum("...ij,...j->...i", A_t[k], phi_x) + C_t[k]
+        x_aff[k] = phi_x
+        # new column j=k gets B_k; older columns multiply by A_k
+        for j in range(k):
+            Su_blocks[k][j] = jnp.einsum("...ij,...jk->...ik", A_t[k],
+                                         Su_blocks[k - 1][j])
+        Su_blocks[k][k] = B_t[k]
+    Su = jnp.concatenate([
+        jnp.concatenate([Su_blocks[k][j] if j <= k else
+                         jnp.zeros(batch + (nx, nu), dtype)
+                         for j in range(T)], axis=-1)
+        for k in range(T)], axis=-2)  # (..., T*nx, n)
+    x_free = jnp.concatenate(x_aff, axis=-1)  # (..., T*nx)
+
+    qw = jnp.concatenate([
+        jnp.tile(jnp.asarray(cfg.q_state, dtype), T - 1),
+        jnp.asarray(cfg.qf_state, dtype)])
+    ref_flat = ref_traj[..., 1:, :].reshape(batch + (T * nx,))
+    q = jnp.einsum("...i,...ij->...j", qw * (x_free - ref_flat), Su)
+
+    # static pieces shared with the goal family
+    D = np.zeros(((T - 1) * nu, n), np.float64)
+    steer_rows = np.zeros((T - 1, n), np.float64)
+    for k in range(T - 1):
+        for c in range(nu):
+            D[k * nu + c, (k + 1) * nu + c] = 1.0
+            D[k * nu + c, k * nu + c] = -1.0
+        steer_rows[k, (k + 1) * nu + 1] = 1.0
+        steer_rows[k, k * nu + 1] = -1.0
+    D = jnp.asarray(D, dtype)
+    r_diag = jnp.tile(jnp.asarray([cfg.r_accel, cfg.r_steer], dtype), T)
+    rd_diag = jnp.tile(jnp.asarray([cfg.rd_accel, cfg.rd_steer], dtype),
+                       T - 1)
+    W_Su = qw[..., :, None] * Su
+    P = (jnp.einsum("...ji,...jk->...ik", Su, W_Su)
+         + jnp.diag(r_diag) + D.T @ (rd_diag[:, None] * D))
+
+    vel_sel = np.zeros((T, T * nx), np.float64)
+    for k in range(T):
+        vel_sel[k, k * nx + 2] = 1.0
+    vel_sel = jnp.asarray(vel_sel, dtype)
+    vel_rows = jnp.einsum("ij,...jk->...ik", vel_sel, Su)  # (..., T, n)
+    ident = jnp.broadcast_to(jnp.eye(n, dtype=dtype), batch + (n, n))
+    sr = jnp.broadcast_to(jnp.asarray(steer_rows, dtype),
+                          batch + steer_rows.shape)
+    A_con = jnp.concatenate([ident, sr, vel_rows], axis=-2)  # (..., m, n)
+
+    u_lo = jnp.tile(jnp.asarray([-cfg.max_accel, -cfg.max_steer], dtype), T)
+    u_hi = jnp.tile(jnp.asarray([cfg.max_accel, cfg.max_steer], dtype), T)
+    d_bound = jnp.full((T - 1,), cfg.max_dsteer * cfg.dt, dtype)
+    # tracker velocity box: [0, MAX_SPEED] (mpc_node.py:49 MIN_SPEED = 0),
+    # on the velocity STATE: v_k - (x_free velocity part) bounds shift
+    v_aff = jnp.einsum("ij,...j->...i", vel_sel, x_free)  # (..., T)
+    v_lo = jnp.zeros(batch + (T,), dtype) - v_aff
+    v_hi = jnp.full(batch + (T,), cfg.max_speed, dtype) - v_aff
+    lo = jnp.concatenate([
+        jnp.broadcast_to(u_lo, batch + (n,)),
+        jnp.broadcast_to(-d_bound, batch + (T - 1,)), v_lo], axis=-1)
+    hi = jnp.concatenate([
+        jnp.broadcast_to(u_hi, batch + (n,)),
+        jnp.broadcast_to(d_bound, batch + (T - 1,)), v_hi], axis=-1)
+
+    # row-normalize (same measured convergence reasoning as the goal family)
+    row_norm = jnp.sqrt(jnp.sum(A_con * A_con, axis=-1))
+    A_con = A_con / row_norm[..., None]
+    lo = lo / row_norm
+    hi = hi / row_norm
+
+    rho = jnp.asarray(1.0, dtype)
+    alpha = 1.6
+    kkt = (P + sigma * jnp.eye(n, dtype=dtype)
+           + rho * jnp.einsum("...ji,...jk->...ik", A_con, A_con))
+    kinv = jnp.linalg.inv(kkt)  # one (..., 16, 16) inverse per row
+
+    m = A_con.shape[-2]
+    x = jnp.zeros(batch + (n,), dtype)
+    z = jnp.clip(jnp.zeros(batch + (m,), dtype), lo, hi)
+    u = jnp.zeros_like(z)
+
+    def body(_, carry):
+        x, z, u = carry
+        rhs = sigma * x - q + jnp.einsum("...ji,...j->...i", A_con,
+                                         rho * (z - u))
+        x = jnp.einsum("...ij,...j->...i", kinv, rhs)
+        ax = alpha * jnp.einsum("...ij,...j->...i", A_con, x) \
+            + (1.0 - alpha) * z
+        z_new = jnp.clip(ax + u, lo, hi)
+        u = u + ax - z_new
+        return x, z_new, u
+
+    x, z, u = jax.lax.fori_loop(0, iters, body, (x, z, u))
+    ax = jnp.einsum("...ij,...j->...i", A_con, x)
+    z_next = jnp.clip(ax + u, lo, hi)
+    r_prim = jnp.max(jnp.abs(ax - z_next), axis=-1)
+    r_dual = rho * jnp.max(
+        jnp.abs(jnp.einsum("...ji,...j->...i", A_con, z_next - z)), axis=-1)
+    converged = (r_prim < tol) & (r_dual < tol)
+
+    controls = x.reshape(batch + (T, nu))
+    speed = x0[..., 2] + controls[..., 0, 0] * cfg.dt
+    steer = controls[..., 0, 1]
+    return GoalMPCSolution(speed, steer, controls, r_prim, r_dual, converged)
+
+
 def solve_goal_mpc(inputs, cfg: GoalMPCConfig = GoalMPCConfig(),
                    iters: int = 300) -> GoalMPCSolution:
     """Reference-ABI row solve: inputs (N, 5) columns

@@ -200,3 +200,136 @@ def test_goal_mpc_planner_closed_loop_oval():
     ey_mean, _ = deviation_metrics(traj)
     ey_mean = float(np.asarray(ey_mean).mean())
     assert ey_mean < 0.15, f"mean|ey| {ey_mean:.3f}"
+
+
+def _ltv_qp(x0, ref, pp, cfg=CFG):
+    """Dense f64 rebuild of the LTV tracking QP (independent numpy path) ->
+    (P, q, A, lo, hi) for the SLSQP oracle."""
+    T, nx, nu = cfg.horizon, 4, 2
+    n = T * nu
+    dt, wb = cfg.dt, cfg.wheelbase
+
+    def mats(v, phi):
+        A = np.eye(nx)
+        A[0, 2] = dt * np.cos(phi)
+        A[0, 3] = -dt * v * np.sin(phi)
+        A[1, 2] = dt * np.sin(phi)
+        A[1, 3] = dt * v * np.cos(phi)
+        B = np.zeros((nx, nu))
+        B[2, 0] = dt
+        B[3, 1] = dt * v / wb
+        C = np.array([dt * v * np.sin(phi) * phi,
+                      -dt * v * np.cos(phi) * phi, 0.0, 0.0])
+        return A, B, C
+
+    As, Bs, Cs = zip(*[mats(pp[t, 2], pp[t, 3]) for t in range(T)])
+    Su = np.zeros((T * nx, n))
+    x_aff = np.zeros((T, nx))
+    phi_x = np.asarray(x0, np.float64)
+    blocks = {}
+    for k in range(T):
+        phi_x = As[k] @ phi_x + Cs[k]
+        x_aff[k] = phi_x
+        for j in range(k):
+            blocks[(k, j)] = As[k] @ blocks[(k - 1, j)]
+        blocks[(k, k)] = Bs[k]
+        for j in range(k + 1):
+            Su[k * nx:(k + 1) * nx, j * nu:(j + 1) * nu] = blocks[(k, j)]
+    qw = np.concatenate([np.tile(cfg.q_state, T - 1), cfg.qf_state])
+    ref_flat = np.asarray(ref, np.float64)[1:].reshape(-1)
+    q = (qw * (x_aff.reshape(-1) - ref_flat)) @ Su
+    D = np.zeros(((T - 1) * nu, n))
+    steer_rows = np.zeros((T - 1, n))
+    for k in range(T - 1):
+        for c in range(nu):
+            D[k * nu + c, (k + 1) * nu + c] = 1.0
+            D[k * nu + c, k * nu + c] = -1.0
+        steer_rows[k, (k + 1) * nu + 1] = 1.0
+        steer_rows[k, k * nu + 1] = -1.0
+    P = (Su.T @ (qw[:, None] * Su) + np.diag(np.tile(
+        [cfg.r_accel, cfg.r_steer], T)) + D.T @ (np.tile(
+            [cfg.rd_accel, cfg.rd_steer], T - 1)[:, None] * D))
+    vel = Su[2::4]  # velocity rows of x_1..x_T
+    v_aff = x_aff[:, 2]
+    A = np.concatenate([np.eye(n), steer_rows, vel])
+    lo = np.concatenate([np.tile([-cfg.max_accel, -cfg.max_steer], T),
+                         np.full(T - 1, -cfg.max_dsteer * cfg.dt),
+                         0.0 - v_aff])
+    hi = np.concatenate([np.tile([cfg.max_accel, cfg.max_steer], T),
+                         np.full(T - 1, cfg.max_dsteer * cfg.dt),
+                         cfg.max_speed - v_aff])
+    return P, q, A, lo, hi
+
+
+def test_tracking_mpc_matches_slsqp_oracle():
+    """LTV tracker vs SLSQP on random curving references (nonzero phi ->
+    the affine C path is exercised)."""
+    from irbfn_tpu.solvers.goal_mpc import solve_tracking_mpc
+
+    rng = np.random.default_rng(4)
+    T = CFG.horizon
+    checked = 0
+    for i in range(12):
+        v0 = rng.uniform(0.5, 6.0)
+        x0 = np.array([0.0, 0.0, v0, rng.uniform(-0.4, 0.4)])
+        phis = x0[3] + np.cumsum(rng.uniform(-0.15, 0.15, T))
+        vs = np.clip(v0 + np.cumsum(rng.uniform(-0.3, 0.3, T)), 0.2, 8.0)
+        pp = np.zeros((T, 4))
+        pp[:, 2], pp[:, 3] = vs, phis
+        ref = np.zeros((T + 1, 4))
+        ref[:, 0] = np.cumsum(np.r_[0.0, vs * CFG.dt * np.cos(phis)])
+        ref[:, 1] = np.cumsum(np.r_[0.0, vs * CFG.dt * np.sin(phis)])
+        ref[:, 2] = np.r_[v0, vs]
+        ref[:, 3] = np.r_[x0[3], phis]
+
+        P, q, A, lo, hi = _ltv_qp(x0, ref, pp)
+        res = minimize(lambda u: 0.5 * u @ P @ u + q @ u, np.zeros(16),
+                       jac=lambda u: P @ u + q, method="SLSQP",
+                       constraints=[
+                           {"type": "ineq", "fun": lambda u: A @ u - lo,
+                            "jac": lambda u: A},
+                           {"type": "ineq", "fun": lambda u: hi - A @ u,
+                            "jac": lambda u: -A}],
+                       options={"maxiter": 400, "ftol": 1e-12})
+        if not res.success:
+            continue
+        sol = solve_tracking_mpc(jnp.asarray(x0[None], jnp.float64),
+                                 jnp.asarray(ref[None], jnp.float64),
+                                 jnp.asarray(pp[None], jnp.float64),
+                                 iters=1200)
+        u_admm = np.asarray(sol.controls[0]).reshape(-1)
+        f_admm = 0.5 * u_admm @ P @ u_admm + q @ u_admm
+        scale = max(abs(res.fun), 1.0)
+        assert (f_admm - res.fun) / scale < 1e-8, (i, f_admm, res.fun)
+        np.testing.assert_allclose(u_admm[:2], res.x[:2], atol=1e-3)
+        assert bool(sol.converged[0])
+        checked += 1
+    assert checked >= 9, f"only {checked} oracle rows solved"
+
+
+def test_tracking_mpc_reduces_to_goal_mpc_at_phi0():
+    """With phi=0 operating points, constant-v path_predict, a constant
+    reference, and the goal family's v_min, the LTV tracker solves the SAME
+    QP as the goal family (C vanishes, matrices collapse to the LTI case)."""
+    from irbfn_tpu.solvers.goal_mpc import solve_tracking_mpc
+
+    v = 3.0
+    T = CFG.horizon
+    goal = np.array([1.5, 1.0, 3.5, 0.4])  # (x, y, v, yaw)
+    x0 = np.array([0.0, 0.0, v, 0.0])
+    pp = np.zeros((T, 4))
+    pp[:, 2] = v
+    ref = np.tile(goal, (T + 1, 1))
+    # min_speed: goal family allows reverse (-2); match by keeping the
+    # solution away from v=0 (all speeds here are ~3)
+    sol_t = solve_tracking_mpc(jnp.asarray(x0[None], jnp.float64),
+                               jnp.asarray(ref[None], jnp.float64),
+                               jnp.asarray(pp[None], jnp.float64),
+                               iters=1200)
+    sol_g = solve_goal_family(jnp.asarray(v, jnp.float64),
+                              jnp.asarray(goal[None], jnp.float64),
+                              iters=1200)
+    np.testing.assert_allclose(float(sol_t.speed[0]), float(sol_g.speed[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(sol_t.steer[0]), float(sol_g.steer[0]),
+                               atol=1e-5)
