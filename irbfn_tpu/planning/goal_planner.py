@@ -42,7 +42,7 @@ class GoalMPCPlanner:
     def __init__(self, track: Track, model=None, params=None,
                  cfg: GoalMPCConfig = GoalMPCConfig(),
                  horizon_time: Optional[float] = None,
-                 iters: int = 600, use_pallas: str = "never"):
+                 iters: int = 600, use_pallas="auto"):
         self.cfg = cfg
         # default lookahead = the MPC horizon preview (T * dt = 0.4 s)
         ht = (cfg.horizon * cfg.dt if horizon_time is None
@@ -51,7 +51,8 @@ class GoalMPCPlanner:
         rl_points = jnp.stack([rl.xs, rl.ys], axis=-1)
         apply_fn = None
         if model is not None:
-            apply_fn, self._params = _make_apply(model, params, use_pallas)
+            apply_fn = _make_apply(model, params, use_pallas)
+            self._params = params
         else:
             self._params = None
 
