@@ -241,6 +241,31 @@ def _solve_goal_family_impl(v_car, goals, cfg, iters, sigma, tol):
     return GoalMPCSolution(speed, steer, controls, r_prim, r_dual, converged)
 
 
+def solve_goal_lattice_sharded(v_car, goals, cfg: GoalMPCConfig =
+                               GoalMPCConfig(), iters: int = 1200,
+                               mesh=None, batch_per_device: int = 262144,
+                               progress: bool = False):
+    """DP-sharded family solve: the goal block splits across the mesh's
+    data axis (parallel.datagen.solve_lattice_sharded), the family matrices
+    replicate, and XLA runs each shard's ADMM GEMMs locally — zero
+    collectives in the iteration loop.  Returns reduced host outputs
+    {speed, steer, converged} (N,), the table columns — the full control
+    plans stay on device (through the dev tunnel a (N, T, 2) fetch is the
+    bottleneck, CLAUDE.md host-link note).
+    """
+    from irbfn_tpu.parallel.datagen import solve_lattice_sharded
+
+    def fn(g, v):
+        sol = solve_goal_family(v, g, cfg, iters=iters)
+        return {"speed": sol.speed, "steer": sol.steer,
+                "converged": sol.converged}
+
+    return solve_lattice_sharded(fn, goals, mesh=mesh,
+                                 args=(jnp.asarray(v_car),),
+                                 batch_per_device=batch_per_device,
+                                 progress=progress)
+
+
 @partial(jax.jit, static_argnames=("cfg", "iters"))
 def solve_tracking_mpc(x0, ref_traj, path_predict,
                        cfg: GoalMPCConfig = GoalMPCConfig(),

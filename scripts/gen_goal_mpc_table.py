@@ -33,7 +33,7 @@ import jax.numpy as jnp  # noqa: E402
 from irbfn_tpu.parallel import GridSpec, build_lattice  # noqa: E402
 from irbfn_tpu.solvers.goal_mpc import (  # noqa: E402
     GoalMPCConfig,
-    solve_goal_family,
+    solve_goal_lattice_sharded,
 )
 
 
@@ -80,27 +80,24 @@ def main():
 
     dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
     cfg = GoalMPCConfig()
-    chunk = min(args.chunk, G)
-    n_chunks = (G + chunk - 1) // chunk
-    pad = n_chunks * chunk - G
-    goals_p = np.pad(goals, ((0, pad), (0, 0)))
 
+    # mesh-sharded + transfer/compute pipelined per family; ONE compiled
+    # program across families (v_car is a traced operand)
+    n_dev = jax.device_count()
+    bpd = max(min(args.chunk, G) // n_dev, 1)
     speed = np.empty((len(v_vals), G), np.float32)
     steer = np.empty((len(v_vals), G), np.float32)
     valid = np.empty((len(v_vals), G), bool)
     t0 = time.time()
     done = 0
     for vi, v in enumerate(v_vals):
-        v_dev = jnp.asarray(v, dtype)
-        for c in range(n_chunks):
-            blk = jnp.asarray(goals_p[c * chunk:(c + 1) * chunk], dtype)
-            sol = solve_goal_family(v_dev, blk, cfg, iters=args.iters)
-            lo_i, hi_i = c * chunk, min((c + 1) * chunk, G)
-            k = hi_i - lo_i
-            speed[vi, lo_i:hi_i] = np.asarray(sol.speed[:k], np.float32)
-            steer[vi, lo_i:hi_i] = np.asarray(sol.steer[:k], np.float32)
-            valid[vi, lo_i:hi_i] = np.asarray(sol.converged[:k])
-            done += k
+        out = solve_goal_lattice_sharded(
+            jnp.asarray(v, dtype), goals, cfg, iters=args.iters,
+            batch_per_device=bpd)
+        speed[vi] = out["speed"]
+        steer[vi] = out["steer"]
+        valid[vi] = out["converged"]
+        done += G
         rate = done / (time.time() - t0)
         print(f"  family v_car={v:+.1f}: {done:,}/{n_total:,} "
               f"({rate:,.0f} QP solves/s incl. compile)")

@@ -333,3 +333,26 @@ def test_tracking_mpc_reduces_to_goal_mpc_at_phi0():
                                atol=1e-5)
     np.testing.assert_allclose(float(sol_t.steer[0]), float(sol_g.steer[0]),
                                atol=1e-5)
+
+
+def test_goal_lattice_sharded_matches_direct():
+    """DP-sharded goal-block solve on the 8-device mesh equals the direct
+    single-device family solve (SURVEY 2.7 DP coverage for the new solver)."""
+    from irbfn_tpu.solvers.goal_mpc import solve_goal_lattice_sharded
+
+    rng = np.random.default_rng(5)
+    G = 64
+    goals = np.stack([rng.uniform(-1.2, 4.0, G), rng.uniform(0.0, 4.0, G),
+                      rng.uniform(-1.0, 8.0, G),
+                      rng.uniform(-3.14, 3.14, G)],
+                     axis=1).astype(np.float32)
+    v = np.float32(2.5)
+    out = solve_goal_lattice_sharded(v, goals, iters=300,
+                                     batch_per_device=8)
+    direct = solve_goal_family(jnp.asarray(v), jnp.asarray(goals), iters=300)
+    np.testing.assert_allclose(out["speed"], np.asarray(direct.speed),
+                               atol=1e-6)
+    np.testing.assert_allclose(out["steer"], np.asarray(direct.steer),
+                               atol=1e-6)
+    np.testing.assert_array_equal(out["converged"],
+                                  np.asarray(direct.converged))
