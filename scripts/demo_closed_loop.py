@@ -45,6 +45,13 @@ def main():
                         "raceline csv); collision then uses the real map")
     p.add_argument("--speed_scale", type=float, default=1.0,
                    help="scale the raceline speed profile (map tracks)")
+    p.add_argument("--car_radius", type=float, default=0.15,
+                   help="collision disc radius on map tracks (the "
+                        "Oschersleben raceline protocol note in BASELINE.md "
+                        "applies: reference racelines pinch below "
+                        "car-radius clearance in places)")
+    p.add_argument("--goal_lookahead", type=float, default=None,
+                   help="goal-MPC lookahead horizon [s] (default T*dt=0.4)")
     p.add_argument("--control_dt", type=float, default=0.1,
                    help="replanning period [s]. The cartesian net (like the "
                         "reference's 7-D table, nmpc_data_generator.py:36-65) "
@@ -66,7 +73,7 @@ def main():
                                          * args.speed_scale)
             track = track._replace(raceline=rl)
         env = TrackEnv(track, f1tenth_params(dtype=jnp.float32),
-                       occ_map=omap, car_radius=0.15,
+                       occ_map=omap, car_radius=args.car_radius,
                        control_dt=args.control_dt)
     else:
         track = oval_track(n_samples=512, speed=args.speed)
@@ -115,6 +122,7 @@ def main():
         # serves the trained compression (train_goal_mpc.py ckpt)
         from irbfn_tpu.planning import GoalMPCPlanner
 
+        la = args.goal_lookahead
         if args.planner == "goal_mpc_net":
             from irbfn_tpu.train import load_model
 
@@ -122,9 +130,10 @@ def main():
                 raise SystemExit("goal_mpc_net requires --config_f/--ckpt")
             model, params, conf = load_model(args.config_f, args.ckpt)
             planner = GoalMPCPlanner(track, model,
-                                     {"params": params["params"]})
+                                     {"params": params["params"]},
+                                     horizon_time=la)
         else:
-            planner = GoalMPCPlanner(track)
+            planner = GoalMPCPlanner(track, horizon_time=la)
         env = TrackEnv(track, f1tenth_params(dtype=jnp.float32),
                        occ_map=env.occ_map, car_radius=env.car_radius,
                        control_dt=args.control_dt, control_mode="speed")
