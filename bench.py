@@ -148,6 +148,27 @@ def bench_nmpc_solves(n_points: int = 2048):
     return n_points / dt, flops / dt
 
 
+def bench_goal_mpc_solves(n_goals: int = 1 << 18):
+    """Goal-MPC condensed-QP solves/sec at the datagen budget (1200 ADMM
+    sweeps) — the reference's OSQP-per-point lattice workload
+    (goal_mpc_data_generator.py:7-36, 45 joblib processes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from irbfn_tpu.solvers.goal_mpc import solve_goal_family
+
+    rng = np.random.default_rng(0)
+    goals = jnp.asarray(np.column_stack([
+        rng.uniform(-1.2, 4.0, n_goals), rng.uniform(0.0, 4.0, n_goals),
+        rng.uniform(-1.0, 8.0, n_goals), rng.uniform(-3.14, 3.14, n_goals),
+    ]).astype(np.float32))
+    v = jnp.asarray(3.5, jnp.float32)
+    fn = jax.jit(lambda g: jnp.sum(
+        solve_goal_family(v, g, iters=1200).steer))
+    dt = _time_op(fn, goals, warmup=1, iters=3)
+    return n_goals / dt
+
+
 def main():
     solves_per_sec = bench_bvp_solves()
     per_call_s, single_call_s = bench_plan_latency()
@@ -175,6 +196,8 @@ def main():
                 bench_plan_latency_pallas() * 1e3, 4)
         except Exception as e:  # pallas unsupported on this backend
             extra["plan_latency_pallas_batch1024_ms"] = f"n/a ({e})"
+        extra["goal_mpc_qp_solves_per_sec_per_chip"] = round(
+            bench_goal_mpc_solves(), 1)
     baseline_per_chip = 1e5 / 8.0  # v5e-8 north-star, per chip
     print(json.dumps({
         "metric": "clothoid_bvp_solves_per_sec_per_chip",

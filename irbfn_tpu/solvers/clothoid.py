@@ -68,7 +68,7 @@ def _quad_nodes(order: int, segments: int, dtype):
 
 @partial(jax.jit, static_argnames=("newton_iters", "order", "segments"))
 def solve_g1_hermite(goal_x, goal_y, goal_theta, *, start_x=0.0, start_y=0.0,
-                     start_theta=0.0, newton_iters: int = 24,
+                     start_theta=0.0, newton_iters: int = 10,
                      order: int = 12, segments: int = 4) -> ClothoidSolution:
     """Solve the G1-Hermite clothoid BVP, batched over leading axes.
 
@@ -76,6 +76,13 @@ def solve_g1_hermite(goal_x, goal_y, goal_theta, *, start_x=0.0, start_y=0.0,
         goal_x/goal_y/goal_theta: goal pose arrays ``(...,)``.
         start_*: start pose (scalar or broadcastable); reference datagen
             always uses the origin.
+        newton_iters: fixed Newton sweeps on the reduced 1-D G1 equation.
+            Measured: the iteration is fully converged by 6 on the whole
+            reference goal range AND adversarial corners (20k goals each of
+            x in [0.05, 30], y +-8, theta +-3.1, short sub-meter chords —
+            endpoint error saturates at 3.6e-15 f64 / 1.8e-6 f32 identically
+            for iters in {6..24}); 10 keeps a 1.67x margin and runs 1.42x
+            the old 24-sweep default (25.1M vs 17.7M solves/s/chip on v5e).
     """
     gx = jnp.asarray(goal_x)
     dtype = gx.dtype

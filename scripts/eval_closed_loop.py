@@ -115,6 +115,26 @@ def make_policy(args, track):
             brake = jnp.stack([jnp.full_like(obs.ey, -9.51),
                                jnp.zeros_like(obs.ey)], axis=-1)
             return jnp.where(valid[..., None], act, brake)
+    elif args.planner in ("goal_mpc", "goal_mpc_net"):
+        # waypoint-following kinematic goal MPC (reference goal_mpc_node /
+        # mpc_node deployment shape): (speed, steer) actions through the
+        # env's speed control mode (main() switches control_mode)
+        from irbfn_tpu.planning import GoalMPCPlanner
+
+        if args.planner == "goal_mpc_net":
+            if not args.config_f:
+                raise SystemExit("goal_mpc_net requires --config_f/--ckpt")
+            model, net_params, conf = load_model(args.config_f, args.ckpt)
+            planner = GoalMPCPlanner(track, model,
+                                     {"params": net_params["params"]})
+        else:
+            planner = GoalMPCPlanner(track)
+
+        def policy(obs):
+            speed, steer = planner.plan_batch(obs.pose_x, obs.pose_y,
+                                              obs.pose_theta,
+                                              obs.linear_vel_x)
+            return jnp.stack([speed, steer], axis=-1)
     elif args.planner == "nmpc":
         # nominal internal model: the sim's (mu, cs) vary, the planner's
         # don't — that mismatch IS the robustness experiment
@@ -151,7 +171,7 @@ def main():
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--planner",
                    choices=["irbfn", "irbfn_cart", "nmpc", "explicit",
-                            "pursuit"],
+                            "pursuit", "goal_mpc", "goal_mpc_net"],
                    default="nmpc")
     p.add_argument("--table_path", type=str, default=None,
                    help="solver-table npz for --planner explicit")
@@ -230,7 +250,10 @@ def main():
 
     env = TrackEnv(track, params_b,
                    half_width=None if omap is not None else args.half_width,
-                   occ_map=omap, car_radius=args.car_radius)
+                   occ_map=omap, car_radius=args.car_radius,
+                   control_mode=("speed"
+                                 if args.planner.startswith("goal_mpc")
+                                 else "accl"))
     policy = make_policy(args, track)
     key = jax.random.PRNGKey(args.seed)
 
