@@ -149,8 +149,9 @@ def bench_nmpc_solves(n_points: int = 2048):
 
 
 def bench_goal_mpc_solves(n_goals: int = 1 << 18):
-    """Goal-MPC condensed-QP solves/sec at the datagen budget (1200 ADMM
-    sweeps) — the reference's OSQP-per-point lattice workload
+    """Goal-MPC condensed-QP solves/sec at the datagen budget (600 ADMM
+    sweeps: 100% convergence on every v_car family with the speed-scaled
+    rho law) — the reference's OSQP-per-point lattice workload
     (goal_mpc_data_generator.py:7-36, 45 joblib processes)."""
     import jax
     import jax.numpy as jnp
@@ -164,7 +165,7 @@ def bench_goal_mpc_solves(n_goals: int = 1 << 18):
     ]).astype(np.float32))
     v = jnp.asarray(3.5, jnp.float32)
     fn = jax.jit(lambda g: jnp.sum(
-        solve_goal_family(v, g, iters=1200).steer))
+        solve_goal_family(v, g, iters=600).steer))
     dt = _time_op(fn, goals, warmup=1, iters=3)
     return n_goals / dt
 

@@ -51,9 +51,10 @@ def main():
         p.add_argument(f"--d_{name}", type=float, default=step)
     p.add_argument("--save_path", type=str, default="./data")
     p.add_argument("--run_tag", type=str, default="")
-    p.add_argument("--iters", type=int, default=1200,
-                   help="fixed ADMM sweeps (1200 = every lattice row "
-                        "converged in the f64 oracle study)")
+    p.add_argument("--iters", type=int, default=600,
+                   help="fixed ADMM sweeps (600 = every row of every "
+                        "v_car family converges with the speed-scaled "
+                        "rho law, measured on the full reference lattice)")
     p.add_argument("--chunk", type=int, default=262144,
                    help="goals per device dispatch")
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
