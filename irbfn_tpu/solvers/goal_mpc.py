@@ -198,27 +198,37 @@ def solve_goal_family(v_car, goals, cfg: GoalMPCConfig = GoalMPCConfig(),
         return _solve_goal_family_impl(v_car, goals, cfg, iters, sigma, tol)
 
 
-def _solve_goal_family_impl(v_car, goals, cfg, iters, sigma, tol):
+def _family_operands(v_car, goals, cfg, sigma):
+    """Shared setup for both ADMM backends: family matrices, the speed-
+    scaled rho, the factorized KKT inverse, and the per-goal linear terms.
+
+    rho law: in unit-row constraint coordinates with over-relaxation
+    alpha=1.6, the measured objective gap vs the SLSQP oracle is ~1e-14 at
+    300 iterations (the OSQP-style mean-diag-P rho is ~36 here and needs 4x
+    the iterations for 1e-3). rho grows with the linearization speed — P's
+    yaw-coupling curvature scales ~v^2, and the measured optimum tracks
+    max(1, |v|/2): at v=7.5, rho=4 converges 94% of the reference goal
+    block in 300 sweeps / 100% in 600 where rho=1 reaches only 56% / 89%;
+    at v<=3.5 the optimum is flat in [1, 2].
+    """
     dtype = goals.dtype
     fam = condensed_family(v_car, cfg, dtype)
     n = fam.P.shape[0]
-    # rho in unit-row constraint coordinates + over-relaxation alpha=1.6:
-    # measured objective gap vs the SLSQP oracle ~1e-14 at 300 iterations
-    # (the OSQP-style mean-diag-P rho is ~36 here and needs 4x the
-    # iterations for 1e-3). rho grows with the linearization speed —
-    # P's yaw-coupling curvature scales ~v^2, and the measured optimum
-    # tracks max(1, |v|/2): at v=7.5, rho=4 converges 94% of the reference
-    # goal block in 300 sweeps / 100% in 600 where rho=1 reaches only
-    # 56% / 89%; at v<=3.5 the optimum is flat in [1, 2].
     rho = jnp.maximum(jnp.asarray(1.0, dtype),
                       jnp.abs(jnp.asarray(v_car, dtype)) * 0.5)
-    alpha = 1.6
     kkt = fam.P + sigma * jnp.eye(n, dtype=dtype) + rho * (
         fam.A_con.T @ fam.A_con)
     chol = jax.scipy.linalg.cholesky(kkt, lower=True)
     kinv = jax.scipy.linalg.cho_solve((chol, True), jnp.eye(n, dtype=dtype))
-
     q = _goal_vector(fam, goals, cfg)  # (G, n)
+    return fam, rho, kinv, q
+
+
+def _solve_goal_family_impl(v_car, goals, cfg, iters, sigma, tol):
+    dtype = goals.dtype
+    fam, rho, kinv, q = _family_operands(v_car, goals, cfg, sigma)
+    n = fam.P.shape[0]
+    alpha = 1.6
     G = q.shape[0]
     x = jnp.zeros((G, n), dtype)
     z = jnp.clip(jnp.zeros((G, fam.A_con.shape[0]), dtype), fam.lo, fam.hi)
@@ -242,6 +252,36 @@ def _solve_goal_family_impl(v_car, goals, cfg, iters, sigma, tol):
 
     controls = x.reshape(G, cfg.horizon, 2)
     speed = jnp.asarray(v_car, dtype) + controls[:, 0, 0] * cfg.dt
+    steer = controls[:, 0, 1]
+    return GoalMPCSolution(speed, steer, controls, r_prim, r_dual, converged)
+
+
+@partial(jax.jit, static_argnames=("cfg", "iters", "tile_g", "interpret"))
+def solve_goal_family_pallas(v_car, goals,
+                             cfg: GoalMPCConfig = GoalMPCConfig(),
+                             iters: int = 600, sigma: float = 1e-6,
+                             tol: float = 2e-3, tile_g: int = 512,
+                             interpret: bool = False) -> GoalMPCSolution:
+    """solve_goal_family through the fused Pallas ADMM kernel.
+
+    NOTE: measured 5x SLOWER than solve_goal_family on v5e — see the
+    ops/pallas_admm.py docstring for the measurement and the why (batch-wide
+    GEMM amortization beats VMEM residency for tiny-operand iterative
+    solvers).  Kept as the hardware-bitwise-equal counterexample
+    (tests/test_goal_mpc.py::test_pallas_admm_matches_xla_loop); use
+    solve_goal_family for datagen and serving.
+    """
+    from irbfn_tpu.ops.pallas_admm import admm_solve_pallas
+
+    goals = jnp.asarray(goals, jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        fam, rho, kinv, q = _family_operands(v_car, goals, cfg, sigma)
+    x, r_prim, r_dual = admm_solve_pallas(
+        q, fam.A_con, kinv, fam.lo, fam.hi, rho, iters=iters, sigma=sigma,
+        tile_g=tile_g, interpret=interpret)
+    converged = (r_prim < tol) & (r_dual < tol)
+    controls = x.reshape(x.shape[0], cfg.horizon, 2)
+    speed = jnp.asarray(v_car, jnp.float32) + controls[:, 0, 0] * cfg.dt
     steer = controls[:, 0, 1]
     return GoalMPCSolution(speed, steer, controls, r_prim, r_dual, converged)
 

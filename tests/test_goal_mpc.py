@@ -356,3 +356,30 @@ def test_goal_lattice_sharded_matches_direct():
                                atol=1e-6)
     np.testing.assert_array_equal(out["converged"],
                                   np.asarray(direct.converged))
+
+
+def test_pallas_admm_matches_xla_loop():
+    """The fused Pallas ADMM kernel (interpret mode on CPU) equals the XLA
+    fori_loop path bit-for-bit in semantics: same solution, residuals, and
+    convergence flags."""
+    from irbfn_tpu.solvers.goal_mpc import solve_goal_family_pallas
+
+    rng = np.random.default_rng(7)
+    G = 96
+    goals = np.stack([rng.uniform(-1.2, 4.0, G), rng.uniform(0.0, 4.0, G),
+                      rng.uniform(-1.0, 8.0, G),
+                      rng.uniform(-3.14, 3.14, G)],
+                     axis=1).astype(np.float32)
+    v = jnp.asarray(4.5, jnp.float32)
+    ref = solve_goal_family(v, jnp.asarray(goals), iters=300)
+    pal = solve_goal_family_pallas(v, jnp.asarray(goals), iters=300,
+                                   tile_g=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(pal.speed), np.asarray(ref.speed),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pal.steer), np.asarray(ref.steer),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pal.controls),
+                               np.asarray(ref.controls), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pal.r_prim),
+                               np.asarray(ref.r_prim), atol=5e-5)
+    assert (np.asarray(pal.converged) == np.asarray(ref.converged)).all()
