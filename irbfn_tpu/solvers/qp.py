@@ -32,6 +32,11 @@ class QPSolution(NamedTuple):
     converged: jnp.ndarray
 
 
+# Over-relaxation: measured (solvers/goal_mpc.py) to roughly halve the
+# iterations to a given residual on the goal-MPC family; standard OSQP range.
+_ALPHA = 1.6
+
+
 def _solve_single_qp(P, q, A, lo, hi, rho, sigma, iters, tol):
     n = P.shape[0]
     m = A.shape[0]
@@ -46,10 +51,11 @@ def _solve_single_qp(P, q, A, lo, hi, rho, sigma, iters, tol):
         x, z, u, it, done = state
         rhs = sigma * x - q + A.T @ (rho * (z - u))
         x_new = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        ax = A @ x_new
+        ax_true = A @ x_new
+        ax = _ALPHA * ax_true + (1.0 - _ALPHA) * z
         z_new = jnp.clip(ax + u, lo, hi)
         u_new = u + ax - z_new
-        r_prim = jnp.linalg.norm(ax - z_new)
+        r_prim = jnp.linalg.norm(ax_true - z_new)
         r_dual = rho * jnp.linalg.norm(A.T @ (z_new - z))
         new_done = done | ((r_prim < tol) & (r_dual < tol))
         return x_new, z_new, u_new, it + 1, new_done
@@ -74,18 +80,71 @@ def solve_qp_batch(P, q, A, lo, hi, rho: float | None = None,
                    tol: float = 1e-8) -> QPSolution:
     """Solve a batch of box-constrained QPs.
 
+    Matmuls are pinned to exact f32: the TPU's default bf16 MXU passes stall
+    the ADMM residuals around 1e-2-1e-3, far above useful tolerances (same
+    measured failure as solvers/goal_mpc.py, see CLAUDE.md ADMM lesson).
+
     Args:
         P: (..., n, n) PSD cost; q: (..., n); A: (..., m, n); lo/hi: (..., m)
     """
     batch_shape = q.shape[:-1]
     solve = partial(_solve_single_qp, rho=rho, sigma=sigma, iters=iters,
                     tol=tol)
-    if not batch_shape:
-        return solve(P, q, A, lo, hi)
-    flat = lambda a, tail: a.reshape((-1,) + a.shape[len(batch_shape):])
-    out = jax.vmap(solve)(flat(P, 2), flat(q, 1), flat(A, 2), flat(lo, 1),
-                          flat(hi, 1))
+    with jax.default_matmul_precision("float32"):
+        if not batch_shape:
+            return solve(P, q, A, lo, hi)
+        flat = lambda a, tail: a.reshape((-1,) + a.shape[len(batch_shape):])
+        out = jax.vmap(solve)(flat(P, 2), flat(q, 1), flat(A, 2), flat(lo, 1),
+                              flat(hi, 1))
     return QPSolution(*[jnp.reshape(o, batch_shape + o.shape[1:]) for o in out])
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _solve_box_qp_shared(P, q, lo, hi, rho: float = 1.0,
+                         sigma: float = 1e-6, iters: int = 1000,
+                         tol: float = 1e-4) -> QPSolution:
+    """ADMM for a batch sharing one P with identity constraints (lo<=x<=hi).
+
+    The condensed-MPC family: only the linear term q varies across the
+    lattice.  One KKT inverse serves every problem and each sweep is a single
+    (B, n) x (n, n) matmul on the MXU — vs the generic path's per-problem
+    vmapped Cholesky (measured 236 -> ~1e5+ solves/s on the quadrotor
+    lattice).  A = I means unit constraint rows, so rho = 1 with
+    over-relaxation is the measured-good regime (solvers/goal_mpc.py rho law).
+    """
+    n = P.shape[-1]
+    dtype = P.dtype
+    with jax.default_matmul_precision("float32"):
+        kinv = jnp.linalg.inv(P + (sigma + rho) * jnp.eye(n, dtype=dtype))
+
+        x0 = jnp.zeros_like(q)
+        z0 = jnp.clip(x0, lo, hi)
+        u0 = jnp.zeros_like(q)
+        it0 = jnp.zeros(q.shape[:-1], jnp.int32)
+        done0 = jnp.zeros(q.shape[:-1], bool)
+
+        def body(state):
+            x, z, u, it, done, k = state
+            rhs = sigma * x - q + rho * (z - u)
+            x_new = rhs @ kinv  # kinv symmetric
+            ax = _ALPHA * x_new + (1.0 - _ALPHA) * z
+            z_new = jnp.clip(ax + u, lo, hi)
+            u_new = u + ax - z_new
+            r_prim = jnp.max(jnp.abs(x_new - z_new), axis=-1)
+            r_dual = rho * jnp.max(jnp.abs(z_new - z), axis=-1)
+            done_new = done | ((r_prim < tol) & (r_dual < tol))
+            it_new = it + (~done_new).astype(jnp.int32)
+            return x_new, z_new, u_new, it_new, done_new, k + 1
+
+        def cond(state):
+            *_, done, k = state
+            return (k < iters) & ~jnp.all(done)
+
+        x, z, u, it, done, _ = jax.lax.while_loop(
+            cond, body, (x0, z0, u0, it0, done0, 0))
+        r_prim = jnp.max(jnp.abs(x - jnp.clip(x, lo, hi)), axis=-1)
+        r_dual = jnp.max(jnp.abs(q + x @ P + rho * u), axis=-1)
+    return QPSolution(x, r_prim, r_dual, it, done)
 
 
 # ------------------------------------------------------------- linear MPC
@@ -109,10 +168,17 @@ class LinearMPC(NamedTuple):
 
 
 def condense(mpc: LinearMPC):
-    """Prediction matrices: X = Sx x0 + Su U (U stacked (T*nu,))."""
+    """Prediction matrices: X = Sx x0 + Su U (U stacked (T*nu,)).
+
+    Returns f64 numpy (not device arrays): the matrices are x0-independent
+    constants, and keeping them host-side lets `solve_linear_mpc_batch` be
+    called from inside an outer jit trace (e.g. a closed-loop `lax.scan`)
+    without turning constants into tracers.
+    """
     nx, nu = mpc.Bd.shape
     T = mpc.horizon
-    Ad, Bd = np.asarray(mpc.Ad), np.asarray(mpc.Bd)
+    Ad = np.asarray(mpc.Ad, np.float64)
+    Bd = np.asarray(mpc.Bd, np.float64)
     powers = [np.eye(nx)]
     for _ in range(T):
         powers.append(Ad @ powers[-1])
@@ -122,39 +188,42 @@ def condense(mpc: LinearMPC):
         for j in range(k):
             Su[(k - 1) * nx:k * nx, j * nu:(j + 1) * nu] = (
                 powers[k - 1 - j] @ Bd)
-    return jnp.asarray(Sx), jnp.asarray(Su)
+    return Sx, Su
 
 
 def solve_linear_mpc_batch(mpc: LinearMPC, x0: jnp.ndarray,
                            goal: jnp.ndarray, iters: int = 1000,
-                           tol: float = 1e-6) -> jnp.ndarray:
-    """Batched condensed linear-MPC solve -> controls (..., T, nu).
+                           tol: float = 1e-4) -> jnp.ndarray:
+    """Batched condensed linear-MPC solve -> (controls (..., T, nu), sol).
 
     Cost: sum_k (x_k-g)^T Q (x_k-g) + u^T R u + terminal Qf; boxed controls.
+    The condensed problem shares P across the whole batch with A = I, so this
+    routes to the shared-operand ADMM (one KKT inverse, MXU sweeps) rather
+    than the generic per-problem-Cholesky path.
     """
     nx, nu = mpc.Bd.shape
     T = mpc.horizon
-    Sx, Su = condense(mpc)
-    qw = jnp.concatenate([jnp.tile(mpc.Q, T - 1), mpc.Qf])  # (T*nx,)
-    rw = jnp.tile(mpc.R, T)
-
-    # P = Su^T diag(qw) Su + diag(rw); q = Su^T diag(qw) (Sx x0 - g_rep)
+    # All problem data except q is x0/goal-independent: build it in numpy so
+    # this stays usable inside an outer jit trace (mpc fields are concrete).
+    Sx, Su = (np.asarray(m, np.float64) for m in condense(mpc))
+    qw = np.concatenate([np.tile(np.asarray(mpc.Q), T - 1),
+                         np.asarray(mpc.Qf)])  # (T*nx,)
     W_Su = qw[:, None] * Su
-    P = Su.T @ W_Su + jnp.diag(rw)
+    P_np = Su.T @ W_Su + np.diag(np.tile(np.asarray(mpc.R), T))
+    rho = float(np.clip(np.mean(np.diagonal(P_np)), 1e-3, 1e3))
+
+    # q = Su^T diag(qw) (Sx x0 - g_rep)
     g_rep = jnp.tile(goal, (1,) * (goal.ndim - 1) + (T,))
-    resid = jnp.einsum("ij,...j->...i", Sx, x0) - g_rep
-    q = jnp.einsum("ji,...j->...i", W_Su, resid)
+    resid = jnp.einsum("ij,...j->...i", jnp.asarray(Sx, jnp.float32), x0) - g_rep
+    q = jnp.einsum("ji,...j->...i", jnp.asarray(W_Su, jnp.float32), resid)
 
     batch_shape = q.shape[:-1]
-    n = T * nu
-    A = jnp.eye(n)
-    lo = jnp.tile(mpc.u_lo, T)
-    hi = jnp.tile(mpc.u_hi, T)
-    P_b = jnp.broadcast_to(P, batch_shape + P.shape)
-    A_b = jnp.broadcast_to(A, batch_shape + A.shape)
-    lo_b = jnp.broadcast_to(lo, batch_shape + lo.shape)
-    hi_b = jnp.broadcast_to(hi, batch_shape + hi.shape)
-    sol = solve_qp_batch(P_b, q, A_b, lo_b, hi_b, iters=iters, tol=tol)
+    lo = np.tile(np.asarray(mpc.u_lo), T).astype(np.float32)
+    hi = np.tile(np.asarray(mpc.u_hi), T).astype(np.float32)
+    sol = _solve_box_qp_shared(jnp.asarray(P_np, jnp.float32), q,
+                               jnp.broadcast_to(jnp.asarray(lo), q.shape),
+                               jnp.broadcast_to(jnp.asarray(hi), q.shape),
+                               rho=rho, iters=iters, tol=tol)
     return sol.x.reshape(batch_shape + (T, nu)), sol
 
 

@@ -1,11 +1,17 @@
 #!/usr/bin/env python
-"""2-D quadrotor (double-integrator) domain: MPC datagen + WCRBF fit.
+"""2-D quadrotor (double-integrator) domain: MPC datagen + WCRBF fit + eval.
 
 Capability match for the reference's quadrotor pipeline
 (deprecated/2D_quadrotor_MPC.py, 2D_quadrotor_data_generator.py,
-train_2D_mpc.py): proves the solve-a-lattice -> fit-a-net recipe is
-model-agnostic.  The cvxpy/OSQP MPC becomes the batched ADMM linear-MPC
-(irbfn_tpu.solvers.qp); datagen + fit run in one script.
+train_2D_mpc.py, evaluate_2D_mpc.py): proves the solve-a-lattice ->
+fit-a-net recipe is model-agnostic.  The cvxpy/OSQP MPC becomes the batched
+ADMM linear-MPC (irbfn_tpu.solvers.qp); datagen + fit run in one script.
+
+Evaluation goes beyond the reference's offline test-grid MAE
+(evaluate_2D_mpc.py:95-116): OFF-grid MAE against fresh ADMM solves, and a
+closed-loop regulation rollout with the net in the loop vs the re-solved MPC
+(the deployment the reference trains for but never demonstrates).  Writes the
+YAML-config + orbax checkpoint pair plus data/quadrotor_results.json.
 """
 
 import argparse
@@ -31,12 +37,21 @@ from irbfn_tpu.train import create_train_state
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--n_grid", type=int, default=7,
+    p.add_argument("--n_grid", type=int, default=9,
                    help="lattice points per state dim")
     p.add_argument("--horizon", type=int, default=10)
-    p.add_argument("--epochs", type=int, default=300)
-    p.add_argument("--num_k", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=60,
+                   help="Adam fine-tune epochs after the closed-form fit "
+                        "(0 = closed-form only; the reference's Adam-only "
+                        "path is --no_direct_fit)")
+    p.add_argument("--no_direct_fit", action="store_true",
+                   help="reference-parity mode: Adam from scratch "
+                        "(train_2D_mpc.py), no closed-form solve")
+    p.add_argument("--num_k", type=int, default=256)
     p.add_argument("--save_path", type=str, default="./data")
+    p.add_argument("--run_name", type=str, default="quadrotor_pr")
+    p.add_argument("--n_test", type=int, default=4096)
+    p.add_argument("--n_rollout", type=int, default=64)
     args = p.parse_args()
 
     # lattice over start states [px, py, vx, vy] toward the origin
@@ -48,21 +63,52 @@ def main():
 
     mpc = double_integrator_mpc(horizon=args.horizon)
     goal = jnp.zeros((x0.shape[0], 4), jnp.float32)
+    x0j = jnp.asarray(x0)
+    controls, sol = solve_linear_mpc_batch(mpc, x0j, goal)  # warm/compile
     t0 = time.time()
-    controls, sol = solve_linear_mpc_batch(mpc, jnp.asarray(x0), goal)
+    controls, sol = solve_linear_mpc_batch(mpc, x0j, goal)
+    jax.block_until_ready(controls)
     controls = np.asarray(controls)
-    print(f"{x0.shape[0] / (time.time() - t0):,.0f} QP solves/s; "
+    print(f"{x0.shape[0] / (time.time() - t0):,.0f} QP solves/s (warm); "
           f"{float(np.asarray(sol.converged).mean()):.1%} converged")
 
     # fit: (state) -> first control [ax, ay]
+    from irbfn_tpu.models.fit import choose_centers, data_scale, fit_direct
+    from irbfn_tpu.models.wcrbf import build_region_bounds
+
     y = controls[:, 0]
+    input_scale = None if args.no_direct_fit else tuple(
+        float(s) for s in data_scale(x0))
     model = WCRBFNet(
         in_features=4, out_features=2, num_kernels=args.num_k,
         basis_func=get_basis("gaussian_wide"), num_regions=1,
         lower_bounds=[[-3.5]], upper_bounds=[[3.5]],
-        dimension_ranges=[[0]], activation_idx=[0], delta=[5.0])
+        dimension_ranges=[[0]], activation_idx=[0], delta=[5.0],
+        input_scale=input_scale)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.asarray(x0[:8]), lr=3e-3)
+    xj, yj = jnp.asarray(x0), jnp.asarray(y)
+
+    if not args.no_direct_fit:
+        # closed-form head solve with data-chosen centers/widths (the
+        # framework's table-fitting path; the reference Adam-trains from
+        # scratch, train_2D_mpc.py)
+        lb, ub = build_region_bounds([[-3.5]], [[3.5]], [[0]], [0])
+        centers, log_sigs = choose_centers(
+            x0, num_kernels=args.num_k, num_regions=1, seed=0,
+            input_scale=input_scale, lb=lb, ub=ub, activation_idx=(0,))
+        t0 = time.time()
+        fit = fit_direct(x0, y, centers, log_sigs, jnp.asarray(lb),
+                         jnp.asarray(ub), jnp.asarray([5.0]), (0,),
+                         get_basis("gaussian_wide"),
+                         input_scale=input_scale)
+        params = dict(state.params["params"])
+        params["core"] = {"centers": fit.centers, "log_sigs": fit.log_sigs}
+        params["head"] = {"kernel": fit.weights, "bias": fit.bias}
+        state = state.replace(params={"params": params})
+        loss = jnp.abs(state.apply_fn(state.params, xj) - yj).mean()
+        print(f"closed-form fit in {time.time() - t0:.1f}s, "
+              f"control L1 {float(loss):.5f}")
 
     @jax.jit
     def step(state, x, y):
@@ -72,12 +118,85 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
 
-    xj, yj = jnp.asarray(x0), jnp.asarray(y)
     for e in range(args.epochs):
         state, loss = step(state, xj, yj)
-    print(f"final control L1: {float(loss):.5f}")
+    if args.epochs:
+        print(f"final control L1 after {args.epochs} Adam epochs: "
+              f"{float(loss):.5f}")
     np.savez(f"{args.save_path}/quadrotor_table.npz", inputs=x0, outputs=y)
     print(f"saved {args.save_path}/quadrotor_table.npz")
+
+    from irbfn_tpu.train import save_checkpoint, save_config
+
+    save_config(f"configs/{args.run_name}.yaml", {
+        "model_class": "WCRBFNet", "in_features": 4, "out_features": 2,
+        "num_kernels": args.num_k, "basis_func": "gaussian_wide",
+        "num_regions": 1, "lower_bounds": [[-3.5]], "upper_bounds": [[3.5]],
+        "dimension_ranges": [[0]], "activation_idx": [0], "delta": [5.0],
+        "input_scale": None if input_scale is None else list(input_scale),
+        "epochs": args.epochs, "lr": 3e-3, "seed": 0,
+        "pipeline": "quadrotor"})
+    import os
+
+    ckpt_dir = os.path.abspath(f"ckpts/{args.run_name}")
+    save_checkpoint(ckpt_dir, state, step=0)
+
+    # --- off-grid accuracy vs fresh solves (the check the reference's
+    # fixed test grid, evaluate_2D_mpc.py:95-116, approximates) ----------
+    rng = np.random.default_rng(1)
+    x_test = rng.uniform([-3, -3, -2, -2], [3, 3, 2, 2],
+                         (args.n_test, 4)).astype(np.float32)
+    u_true, sol_t = solve_linear_mpc_batch(
+        mpc, jnp.asarray(x_test), jnp.zeros((args.n_test, 4), jnp.float32))
+    u_pred = state.apply_fn(state.params, jnp.asarray(x_test))
+    off_mae = float(jnp.abs(u_pred - u_true[:, 0]).mean())
+    print(f"off-grid control MAE vs fresh ADMM: {off_mae:.5f} "
+          f"({float(np.asarray(sol_t.converged).mean()):.1%} solves converged)")
+
+    # --- closed-loop regulation: net in the loop vs re-solved MPC -------
+    n_cl, T_cl = args.n_rollout, 80
+    ang = np.linspace(0, 2 * np.pi, n_cl, endpoint=False)
+    starts = np.stack([2.5 * np.cos(ang), 2.5 * np.sin(ang),
+                       rng.uniform(-1, 1, n_cl), rng.uniform(-1, 1, n_cl)],
+                      axis=1).astype(np.float32)
+    Ad, Bd = mpc.Ad, mpc.Bd
+    u_lo, u_hi = mpc.u_lo, mpc.u_hi
+    goal0 = jnp.zeros((n_cl, 4), jnp.float32)
+
+    @jax.jit
+    def roll_net(x):
+        def body(x, _):
+            u = jnp.clip(state.apply_fn(state.params, x), u_lo, u_hi)
+            x = x @ Ad.T + u @ Bd.T
+            return x, jnp.linalg.norm(x[:, :2], axis=1)
+        return jax.lax.scan(body, x, None, length=T_cl)[1]
+
+    @jax.jit
+    def roll_mpc(x):
+        def body(x, _):
+            u = solve_linear_mpc_batch(mpc, x, goal0, iters=400)[0][:, 0]
+            x = x @ Ad.T + u @ Bd.T
+            return x, jnp.linalg.norm(x[:, :2], axis=1)
+        return jax.lax.scan(body, x, None, length=T_cl)[1]
+
+    d_net = np.asarray(roll_net(jnp.asarray(starts)))  # (T, n_cl)
+    d_mpc = np.asarray(roll_mpc(jnp.asarray(starts)))
+    res = {
+        "train_l1": float(loss), "off_grid_mae": off_mae,
+        "final_dist_net": float(d_net[-1].mean()),
+        "final_dist_mpc": float(d_mpc[-1].mean()),
+        "settle_frac_net": float((d_net[-1] < 0.1).mean()),
+        "settle_frac_mpc": float((d_mpc[-1] < 0.1).mean()),
+    }
+    print(f"closed-loop 8s regulation from r=2.5 ring: final dist "
+          f"net {res['final_dist_net']:.4f} m vs re-solved MPC "
+          f"{res['final_dist_mpc']:.4f} m; settled(<0.1 m) "
+          f"net {res['settle_frac_net']:.0%} / mpc {res['settle_frac_mpc']:.0%}")
+    import json
+
+    with open(f"{args.save_path}/quadrotor_results.json", "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"saved {args.save_path}/quadrotor_results.json")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,34 @@ def test_qp_batched():
         assert np.linalg.norm(pg) < 1e-4
 
 
+def test_linear_mpc_shared_path_converges_and_is_optimal():
+    """The condensed-MPC shared-P ADMM must converge across a state lattice
+    (the quadrotor datagen regime where the generic path converged 23%) and
+    satisfy projected stationarity of the true condensed QP."""
+    from irbfn_tpu.solvers.qp import condense
+
+    mpc = double_integrator_mpc()
+    rng = np.random.default_rng(0)
+    B = 256
+    x0 = jnp.asarray(rng.uniform([-3, -3, -2, -2], [3, 3, 2, 2],
+                                 (B, 4)).astype(np.float32))
+    goal = jnp.zeros((B, 4), jnp.float32)
+    controls, sol = solve_linear_mpc_batch(mpc, x0, goal, iters=1000)
+    assert float(np.mean(np.asarray(sol.converged))) == 1.0
+    assert float(np.percentile(np.asarray(sol.iterations), 99)) < 200
+
+    T = mpc.horizon
+    Sx, Su = (np.asarray(m, np.float64) for m in condense(mpc))
+    qw = np.concatenate([np.tile(np.asarray(mpc.Q), T - 1), np.asarray(mpc.Qf)])
+    P = Su.T @ (qw[:, None] * Su) + np.diag(np.tile(np.asarray(mpc.R), T))
+    lo = np.tile(np.asarray(mpc.u_lo), T)
+    hi = np.tile(np.asarray(mpc.u_hi), T)
+    u = np.asarray(controls, np.float64).reshape(B, -1)
+    g = u @ P + (Su.T @ (qw[:, None] * (Sx @ np.asarray(x0, np.float64).T))).T
+    pg = u - np.clip(u - g, lo, hi)
+    assert float(np.abs(pg).max()) < 5e-3
+
+
 def test_double_integrator_mpc_reaches_goal():
     mpc = double_integrator_mpc(dt=0.1, horizon=20, u_max=5.0)
     x0 = jnp.asarray([[0.0, 0.0, 0.0, 0.0], [1.0, -1.0, 0.0, 0.0]])
