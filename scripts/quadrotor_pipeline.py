@@ -40,26 +40,44 @@ def main():
     p.add_argument("--n_grid", type=int, default=9,
                    help="lattice points per state dim")
     p.add_argument("--horizon", type=int, default=10)
-    p.add_argument("--epochs", type=int, default=60,
+    p.add_argument("--epochs", type=int, default=0,
                    help="Adam fine-tune epochs after the closed-form fit "
-                        "(0 = closed-form only; the reference's Adam-only "
-                        "path is --no_direct_fit)")
+                        "(at lr 1e-4; lr 3e-3 full-batch steps measurably "
+                        "DESTROY the per-region closed-form solution, L1 "
+                        "0.42 -> 1.49). The reference's Adam-from-scratch "
+                        "path is --no_direct_fit, where this is the whole "
+                        "training run.")
     p.add_argument("--no_direct_fit", action="store_true",
                    help="reference-parity mode: Adam from scratch "
                         "(train_2D_mpc.py), no closed-form solve")
     p.add_argument("--num_k", type=int, default=256)
+    p.add_argument("--splits", type=int, default=2,
+                   help="region segments per state dim for the direct fit "
+                        "(splits^4 per-region output heads)")
+    p.add_argument("--n_extra", type=int, default=32768,
+                   help="extra near-origin gaussian-sampled solves appended "
+                        "to the lattice (regulation accuracy lives there)")
     p.add_argument("--save_path", type=str, default="./data")
     p.add_argument("--run_name", type=str, default="quadrotor_pr")
     p.add_argument("--n_test", type=int, default=4096)
     p.add_argument("--n_rollout", type=int, default=64)
     args = p.parse_args()
 
-    # lattice over start states [px, py, vx, vy] toward the origin
+    # lattice over start states [px, py, vx, vy] toward the origin, plus
+    # gaussian-sampled near-origin rows: regulation error is dominated by the
+    # net's bias where u* -> 0, and a uniform lattice spends <1% of its rows
+    # inside the settling ball
     n = args.n_grid
     grid = (GridSpec("px", -3.0, 3.0, n), GridSpec("py", -3.0, 3.0, n),
             GridSpec("vx", -2.0, 2.0, n), GridSpec("vy", -2.0, 2.0, n))
-    x0 = build_lattice(grid, dtype=np.float32)
-    print(f"lattice: {x0.shape[0]:,} MPC problems")
+    x_lat = build_lattice(grid, dtype=np.float32)
+    rng0 = np.random.default_rng(2)
+    x_ext = np.clip(
+        rng0.normal(0.0, [1.2, 1.2, 0.8, 0.8], (args.n_extra, 4)),
+        [-3, -3, -2, -2], [3, 3, 2, 2]).astype(np.float32)
+    x0 = np.concatenate([x_lat, x_ext], axis=0)
+    print(f"lattice: {x_lat.shape[0]:,} + {args.n_extra:,} near-origin "
+          "MPC problems")
 
     mpc = double_integrator_mpc(horizon=args.horizon)
     goal = jnp.zeros((x0.shape[0], 4), jnp.float32)
@@ -72,36 +90,65 @@ def main():
     print(f"{x0.shape[0] / (time.time() - t0):,.0f} QP solves/s (warm); "
           f"{float(np.asarray(sol.converged).mean()):.1%} converged")
 
-    # fit: (state) -> first control [ax, ay]
-    from irbfn_tpu.models.fit import choose_centers, data_scale, fit_direct
+    # fit: (state) -> first control [ax, ay].  The solution map is odd
+    # (u*(-x) = -u*(x), the box constraints being symmetric), so mirror every
+    # row; regulation accuracy is weighted toward the origin on top of the
+    # near-origin densification (both measured load-bearing for closed-loop
+    # settling: the unweighted single-region fit settled 6% of rollouts)
+    from irbfn_tpu.models.fit import (choose_centers, data_scale, fit_direct,
+                                      fit_per_region)
     from irbfn_tpu.models.wcrbf import build_region_bounds
+    from irbfn_tpu.train.trainer import region_spec_from_table
 
     y = controls[:, 0]
-    input_scale = None if args.no_direct_fit else tuple(
-        float(s) for s in data_scale(x0))
+    x_fit = np.concatenate([x0, -x0], axis=0)
+    y_fit = np.concatenate([y, -y], axis=0)
+    if args.no_direct_fit:
+        # reference-parity mode (train_2D_mpc.py): single region, shared
+        # head, Adam from scratch on the raw lattice
+        x_fit, y_fit = x0, y
+        input_scale = None
+        head_mode = "shared"
+        lower_bounds, upper_bounds = [[-3.5]], [[3.5]]
+        dimension_ranges, activation_idx, delta = [[0]], [0], [5.0]
+    else:
+        input_scale = tuple(float(s) for s in data_scale(x_fit))
+        head_mode = "per_region"
+        lower_bounds, upper_bounds, dimension_ranges, delta = (
+            region_spec_from_table(x_lat, [args.splits] * 4))
+        activation_idx = [0, 1, 2, 3]
+    num_regions = len(dimension_ranges)
     model = WCRBFNet(
         in_features=4, out_features=2, num_kernels=args.num_k,
-        basis_func=get_basis("gaussian_wide"), num_regions=1,
-        lower_bounds=[[-3.5]], upper_bounds=[[3.5]],
-        dimension_ranges=[[0]], activation_idx=[0], delta=[5.0],
-        input_scale=input_scale)
+        basis_func=get_basis("gaussian_wide"), num_regions=num_regions,
+        lower_bounds=lower_bounds, upper_bounds=upper_bounds,
+        dimension_ranges=dimension_ranges, activation_idx=activation_idx,
+        delta=delta, input_scale=input_scale, head_mode=head_mode)
+    lr = 3e-3 if args.no_direct_fit else 1e-4
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               jnp.asarray(x0[:8]), lr=3e-3)
-    xj, yj = jnp.asarray(x0), jnp.asarray(y)
+                               jnp.asarray(x_fit[:8]), lr=lr)
+    xj, yj = jnp.asarray(x_fit), jnp.asarray(y_fit)
 
     if not args.no_direct_fit:
-        # closed-form head solve with data-chosen centers/widths (the
-        # framework's table-fitting path; the reference Adam-trains from
-        # scratch, train_2D_mpc.py)
-        lb, ub = build_region_bounds([[-3.5]], [[3.5]], [[0]], [0])
+        # closed-form per-region head solve with data-chosen centers/widths
+        # (the framework's table-fitting path; the reference Adam-trains a
+        # shared head from scratch, train_2D_mpc.py)
+        lb, ub = build_region_bounds(lower_bounds, upper_bounds,
+                                     dimension_ranges, activation_idx)
+        w_scale = np.asarray([1.0, 1.0, 0.7, 0.7], np.float32)
+        sample_weight = (0.25 + np.exp(
+            -0.5 * np.sum((x_fit / w_scale) ** 2, axis=1))).astype(np.float32)
         centers, log_sigs = choose_centers(
-            x0, num_kernels=args.num_k, num_regions=1, seed=0,
-            input_scale=input_scale, lb=lb, ub=ub, activation_idx=(0,))
+            x_fit, num_kernels=args.num_k, num_regions=num_regions, seed=0,
+            input_scale=input_scale, lb=lb, ub=ub,
+            activation_idx=tuple(activation_idx), probs=sample_weight)
         t0 = time.time()
-        fit = fit_direct(x0, y, centers, log_sigs, jnp.asarray(lb),
-                         jnp.asarray(ub), jnp.asarray([5.0]), (0,),
-                         get_basis("gaussian_wide"),
-                         input_scale=input_scale)
+        fit = fit_per_region(x_fit, y_fit, centers, log_sigs,
+                             jnp.asarray(lb), jnp.asarray(ub),
+                             jnp.asarray(delta), tuple(activation_idx),
+                             get_basis("gaussian_wide"),
+                             input_scale=input_scale,
+                             sample_weight=sample_weight)
         params = dict(state.params["params"])
         params["core"] = {"centers": fit.centers, "log_sigs": fit.log_sigs}
         params["head"] = {"kernel": fit.weights, "bias": fit.bias}
@@ -123,6 +170,8 @@ def main():
     if args.epochs:
         print(f"final control L1 after {args.epochs} Adam epochs: "
               f"{float(loss):.5f}")
+    elif args.no_direct_fit:
+        loss = jnp.abs(state.apply_fn(state.params, xj) - yj).mean()
     np.savez(f"{args.save_path}/quadrotor_table.npz", inputs=x0, outputs=y)
     print(f"saved {args.save_path}/quadrotor_table.npz")
 
@@ -131,10 +180,12 @@ def main():
     save_config(f"configs/{args.run_name}.yaml", {
         "model_class": "WCRBFNet", "in_features": 4, "out_features": 2,
         "num_kernels": args.num_k, "basis_func": "gaussian_wide",
-        "num_regions": 1, "lower_bounds": [[-3.5]], "upper_bounds": [[3.5]],
-        "dimension_ranges": [[0]], "activation_idx": [0], "delta": [5.0],
+        "num_regions": num_regions, "lower_bounds": lower_bounds,
+        "upper_bounds": upper_bounds, "dimension_ranges": dimension_ranges,
+        "activation_idx": activation_idx, "delta": delta,
+        "head_mode": head_mode,
         "input_scale": None if input_scale is None else list(input_scale),
-        "epochs": args.epochs, "lr": 3e-3, "seed": 0,
+        "epochs": args.epochs, "lr": lr, "seed": 0,
         "pipeline": "quadrotor"})
     import os
 
