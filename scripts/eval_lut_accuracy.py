@@ -75,6 +75,13 @@ def main():
     print(f"  x:     mean {ex.mean():.2e}  max {ex.max():.2e}")
     print(f"  y:     mean {ey.mean():.2e}  max {ey.max():.2e}")
     print(f"  theta: mean {et.mean():.2e}  max {et.max():.2e}")
+    # tail distribution of the planar miss (the worst-corner metric:
+    # long-chord goals amplify param error ~s^2/2)
+    exy = np.hypot(end[:, 0] - goals[:, 0], end[:, 1] - goals[:, 1])
+    print(f"  planar miss: p99 {np.percentile(exy, 99):.3f}  "
+          f"p99.9 {np.percentile(exy, 99.9):.3f}  max {exy.max():.3f}  "
+          f">1m {100 * (exy > 1).mean():.3f}%  "
+          f">5m {100 * (exy > 5).mean():.4f}%")
 
     # classical interpolation bound: h^2 * max second difference
     hs = [np.diff(g).mean() for g in (xg, yg, tg) if len(g) > 1]

@@ -219,7 +219,7 @@ def main():
         def body(x, _):
             u = jnp.clip(state.apply_fn(state.params, x), u_lo, u_hi)
             x = x @ Ad.T + u @ Bd.T
-            return x, jnp.linalg.norm(x[:, :2], axis=1)
+            return x, x
         return jax.lax.scan(body, x, None, length=T_cl)[1]
 
     @jax.jit
@@ -227,11 +227,13 @@ def main():
         def body(x, _):
             u = solve_linear_mpc_batch(mpc, x, goal0, iters=400)[0][:, 0]
             x = x @ Ad.T + u @ Bd.T
-            return x, jnp.linalg.norm(x[:, :2], axis=1)
+            return x, x
         return jax.lax.scan(body, x, None, length=T_cl)[1]
 
-    d_net = np.asarray(roll_net(jnp.asarray(starts)))  # (T, n_cl)
-    d_mpc = np.asarray(roll_mpc(jnp.asarray(starts)))
+    tr_net = np.asarray(roll_net(jnp.asarray(starts)))  # (T, n_cl, 4)
+    tr_mpc = np.asarray(roll_mpc(jnp.asarray(starts)))
+    d_net = np.linalg.norm(tr_net[:, :, :2], axis=2)  # (T, n_cl)
+    d_mpc = np.linalg.norm(tr_mpc[:, :, :2], axis=2)
     res = {
         "train_l1": float(loss), "off_grid_mae": off_mae,
         "final_dist_net": float(d_net[-1].mean()),
@@ -248,6 +250,29 @@ def main():
     with open(f"{args.save_path}/quadrotor_results.json", "w") as f:
         json.dump(res, f, indent=1)
     print(f"saved {args.save_path}/quadrotor_results.json")
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for k in range(0, n_cl, max(n_cl // 16, 1)):
+        ax.plot(tr_mpc[:, k, 0], tr_mpc[:, k, 1], color="0.7", lw=1.0,
+                zorder=1)
+        ax.plot(tr_net[:, k, 0], tr_net[:, k, 1], color="C0", lw=1.0,
+                zorder=2)
+        ax.plot(starts[k, 0], starts[k, 1], "k.", ms=4, zorder=3)
+    ax.plot([], [], color="0.7", label="re-solved MPC")
+    ax.plot([], [], color="C0", label="WCRBF net")
+    ax.plot([], [], color="C3", lw=1.0, label="0.1 m settle ring")
+    ax.add_patch(plt.Circle((0, 0), 0.1, fill=False, color="C3", lw=1.0))
+    ax.set_aspect("equal")
+    ax.legend(loc="upper right", fontsize=8)
+    ax.set_title("quadrotor regulation: net vs re-solved MPC")
+    fig.savefig(f"{args.save_path}/quadrotor_demo.png", dpi=130,
+                bbox_inches="tight")
+    print(f"saved {args.save_path}/quadrotor_demo.png")
 
 
 if __name__ == "__main__":

@@ -57,6 +57,16 @@ def main():
                    help="Adam epochs on the endpoint loss after the "
                         "closed-form fit (reweights long-arc rows where "
                         "d(endpoint)/dk ~ s^2/2 amplifies param error)")
+    p.add_argument("--error_reweight", type=int, default=0,
+                   help="IRLS rounds after the closed-form fit: compute "
+                        "every row's endpoint xy error device-side, upweight "
+                        "hard rows (w = 1 + gain*err), re-choose centers "
+                        "with those weights as sampling probs, refit. "
+                        "Targets the long-chord tail (0.3%% of goals >5 m) "
+                        "that a uniform fit starves of kernels.")
+    p.add_argument("--reweight_gain", type=float, default=2.0,
+                   help="weight per meter of endpoint error in the IRLS "
+                        "rounds")
     p.add_argument("--finetune_lr", type=float, default=1e-4)
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--end_weight", type=float, default=4.0)
@@ -138,6 +148,54 @@ def main():
         params["core"] = {"centers": fit.centers, "log_sigs": fit.log_sigs}
         params["head"] = {"kernel": fit.weights, "bias": fit.bias}
     state = state.replace(params={"params": params})
+
+    if args.error_reweight > 0:
+        # IRLS on the endpoint metric: the closed-form fit is least-squares
+        # in PARAM space, but endpoint error amplifies long-arc param error
+        # ~s^2/2, so uniform rows starve the long-chord corner of both
+        # kernels and fit pressure. Each round measures the current net's
+        # actual endpoint error on every LUT row (device-side) and feeds it
+        # back as center-sampling probability AND row weight.
+        @jax.jit
+        def _err_chunk(p, xb):
+            end = integrate_endpoint_gl(model.apply({"params": p}, xb))
+            return jnp.abs(end[:, :2] - xb[:, :2]).sum(axis=1)
+
+        n_all = inputs.shape[0]
+        # the forward materializes a (B, R, K) feature tensor — at
+        # R=128 x K=256 a 1M-row chunk is 137 GB; 32k rows is ~4 GB
+        chunk_e = 1 << 15
+        for rnd in range(args.error_reweight):
+            errs = np.empty(n_all, np.float32)
+            for i0 in range(0, n_all, chunk_e):
+                i1 = min(i0 + chunk_e, n_all)
+                errs[i0:i1] = np.asarray(_err_chunk(params, x_dev[i0:i1]))
+            print(f"  IRLS round {rnd + 1}: endpoint |x|+|y| err mean "
+                  f"{errs.mean():.4f}  p99.9 {np.percentile(errs, 99.9):.3f}"
+                  f"  max {errs.max():.3f}; reweighting", flush=True)
+            w = (1.0 + args.reweight_gain * errs).astype(np.float32)
+            centers, log_sigs = choose_centers(
+                inputs, num_kernels=args.num_k, num_regions=num_regions,
+                seed=args.seed + rnd + 1, input_scale=input_scale, lb=lb,
+                ub=ub, activation_idx=activation_idx, probs=w)
+            if args.fit_mode == "per_region":
+                fit = fit_per_region(inputs, outputs, centers, log_sigs,
+                                     jnp.asarray(lb), jnp.asarray(ub),
+                                     jnp.asarray(delta),
+                                     tuple(activation_idx), basis,
+                                     reg=args.reg, input_scale=input_scale,
+                                     sample_weight=w, x_dev=x_dev,
+                                     y_dev=y_dev)
+            else:
+                fit = fit_direct(inputs, outputs, centers, log_sigs,
+                                 jnp.asarray(lb), jnp.asarray(ub),
+                                 jnp.asarray(delta), tuple(activation_idx),
+                                 basis, reg=args.reg,
+                                 input_scale=input_scale, sample_weight=w)
+            params["core"] = {"centers": fit.centers,
+                              "log_sigs": fit.log_sigs}
+            params["head"] = {"kernel": fit.weights, "bias": fit.bias}
+        state = state.replace(params={"params": params})
 
     if args.finetune_epochs > 0:
         steps_per_epoch = max(1, inputs.shape[0] // args.batch)
