@@ -44,6 +44,18 @@ def main():
                         "only ~9%% of rows are flagged, re-solving them "
                         "4x harder costs ~1.4x total time while filling "
                         "false table holes")
+    p.add_argument("--phase1_iters", type=int, default=12,
+                   help="Newton-iteration cap for the cheap first pass of "
+                        "the tiered solve (0 = flat full-budget solve). "
+                        "The vmapped while_loop's wall-clock is set by the "
+                        "slowest lane, so the cap IS the cost; the "
+                        "feasibility certificate (KKT + violation tol) is "
+                        "budget-independent, so rows certified by the cheap "
+                        "pass are final and only flagged rows pay the full "
+                        "budget. Measured: 12-cap certifies 88.5%% of the "
+                        "lattice at 1.95x the flat rate; the tiered "
+                        "pipeline lands ~1.5x end-to-end at equal-or-better "
+                        "final feasibility (BASELINE.md)")
     p.add_argument("--skip_constraints", action="store_true",
                    help="omit the 86-wide activation one-hot from the fetch"
                         " and the npz — lookup-planner banks (multi-mu "
@@ -67,39 +79,64 @@ def main():
     keep_onehot = not args.skip_constraints
     solve = lambda r, pv: TableSolution.from_solution(  # noqa: E731
         solve_lattice_point(r, pv, cfg), include_onehot=keep_onehot)
+    # tiered cheap first pass (see --phase1_iters help)
+    cfg1 = (NMPCConfig(gn_iters=args.phase1_iters)
+            if args.phase1_iters > 0 else None)
+    solve_p1 = lambda r, pv: TableSolution.from_solution(  # noqa: E731
+        solve_lattice_point(r, pv, cfg1), include_onehot=keep_onehot)
     # straggler pass: same problem, bigger iteration budget (the AL/Newton
     # analogue of letting IPOPT run more iterations on hard rows)
     cfg_hard = NMPCConfig(gn_iters=cfg.gn_iters * max(args.resolve_factor, 1),
                           al_outer=cfg.al_outer + 2)
     solve_hard = lambda r, pv: TableSolution.from_solution(  # noqa: E731
         solve_lattice_point(r, pv, cfg_hard), include_onehot=keep_onehot)
+
+    def resolve_flagged(sol, solve_fn, params, tag):
+        """Re-solve the rows ``sol`` flags infeasible with ``solve_fn`` and
+        merge (the certificate is budget-independent, so certified rows are
+        final). Returns the merged host-side TableSolution."""
+        sol = TableSolution(*[np.asarray(f) for f in sol])
+        bad = np.nonzero(~sol.feasible)[0]
+        if not bad.size:
+            return sol
+        t0 = time.time()
+        sol2 = solve_lattice_sharded(
+            solve_fn, rows[bad], batch_per_device=args.batch_per_device,
+            args=(params,))
+        rec = np.asarray(sol2.feasible)
+        sol.accel[bad] = np.asarray(sol2.accel)
+        sol.steer_vel[bad] = np.asarray(sol2.steer_vel)
+        sol.active_onehot[bad] = np.asarray(sol2.active_onehot)
+        sol.feasible[bad] = rec
+        print(f"  {tag}: recovered {int(rec.sum()):,}/{bad.size:,} flagged "
+              f"rows in {time.time() - t0:.0f}s -> "
+              f"{100 * float(sol.feasible.mean()):.1f}% feasible")
+        return sol
+
     for mu in mus[::-1]:
         params = fullscale_params(mu=float(mu), cs=args.cs)
         t0 = time.time()
-        sol = solve_lattice_sharded(
-            solve, rows, batch_per_device=args.batch_per_device,
-            progress=True, args=(params,))
+        if cfg1 is not None:
+            sol = solve_lattice_sharded(
+                solve_p1, rows, batch_per_device=args.batch_per_device,
+                progress=True, args=(params,))
+            feas1 = float(np.asarray(sol.feasible).mean())
+            print(f"mu={mu:.2f}: cheap pass ({args.phase1_iters}-cap) "
+                  f"certified {100 * feas1:.1f}%")
+            sol = resolve_flagged(sol, solve, params,
+                                  "full-budget re-solve")
+        else:
+            sol = solve_lattice_sharded(
+                solve, rows, batch_per_device=args.batch_per_device,
+                progress=True, args=(params,))
         dt = time.time() - t0
         feas = float(np.asarray(sol.feasible).mean())
         print(f"mu={mu:.2f}: {rows.shape[0] / dt:,.0f} solves/s, "
               f"{100 * feas:.1f}% feasible")
         if args.resolve_factor > 0:
-            sol = TableSolution(*[np.asarray(f) for f in sol])
-            bad = np.nonzero(~sol.feasible)[0]
-            if bad.size:
-                t0 = time.time()
-                sol2 = solve_lattice_sharded(
-                    solve_hard, rows[bad],
-                    batch_per_device=args.batch_per_device, args=(params,))
-                rec = np.asarray(sol2.feasible)
-                sol.accel[bad] = np.asarray(sol2.accel)
-                sol.steer_vel[bad] = np.asarray(sol2.steer_vel)
-                sol.active_onehot[bad] = np.asarray(sol2.active_onehot)
-                sol.feasible[bad] = rec
-                print(f"  straggler re-solve ({args.resolve_factor}x budget)"
-                      f": recovered {int(rec.sum()):,}/{bad.size:,} flagged "
-                      f"rows in {time.time() - t0:.0f}s -> "
-                      f"{100 * float(sol.feasible.mean()):.1f}% feasible")
+            sol = resolve_flagged(
+                sol, solve_hard, params,
+                f"straggler re-solve ({args.resolve_factor}x budget)")
         table = frenet_table(rows, sol)
         name = "x".join(str(g.num) for g in grid)
         out = (f"{args.save_path}/frenet_table_{name}_mu{mu:.2f}_"

@@ -175,6 +175,31 @@ def test_nmpc_batch_constraint_satisfaction(nmpc_setup):
     assert np.asarray(sol.kkt_residual)[feas].max() < 1e-2
 
 
+def test_nmpc_cheap_cap_certificate_is_budget_independent(nmpc_setup):
+    """Rows the 12-cap cheap pass certifies feasible satisfy the SAME
+    tolerances the full-budget pass certifies (KKT residual < kkt_tol,
+    state-box violation < 1e-3 recomputed from the returned trajectory) —
+    the property the tiered datagen pipeline (gen_nmpc_table_frenet
+    --phase1_iters, bench nmpc_tiered) rests on."""
+    p, _ = nmpc_setup
+    cfg1 = NMPCConfig(gn_iters=12)
+    rng = np.random.default_rng(3)
+    n = 24
+    rows = np.column_stack([
+        rng.uniform(-0.2, 2.0, n), rng.uniform(-0.3, 0.3, n),
+        rng.uniform(1.0, 7.0, n), rng.uniform(-1.0, 1.0, n),
+        rng.uniform(3.0, 7.0, n), rng.uniform(-2.6, 2.6, n),
+        rng.uniform(-1.0, 1.0, n), rng.uniform(-0.1, 0.1, n)])
+    sol = solve_lattice_point(jnp.asarray(rows), p, cfg1)
+    feas = np.asarray(sol.feasible)
+    assert feas.mean() >= 0.7  # the cheap cap still certifies most rows
+    assert np.asarray(sol.kkt_residual)[feas].max() < cfg1.kkt_tol
+    xs = np.asarray(sol.states)[feas]
+    assert (np.abs(xs[:, 1:, 2]) <= cfg1.max_steer + 1e-3).all()
+    assert (xs[:, 1:, 3] <= cfg1.max_speed + 1e-3).all()
+    assert (xs[:, 1:, 3] >= cfg1.min_speed - 1e-3).all()
+
+
 def test_nmpc_warm_start_consistency(nmpc_setup):
     """Warm-starting from the cold solution returns the same solution."""
     p, cfg = nmpc_setup
