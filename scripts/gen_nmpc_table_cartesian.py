@@ -36,6 +36,15 @@ def main():
     add_vehicle_args(p)
     add_io_args(p)
     p.add_argument("--batch_per_device", type=int, default=8192)
+    p.add_argument("--phase1_iters", type=int, default=12,
+                   help="Newton cap for the cheap first pass of the tiered "
+                        "solve (0 = flat). The feasibility certificate is "
+                        "budget-independent, so cheap-pass-certified rows "
+                        "are final and only flagged rows pay the full "
+                        "budget (see gen_nmpc_table_frenet.py)")
+    p.add_argument("--resolve_factor", type=int, default=4,
+                   help="iteration-budget multiplier for the straggler "
+                        "re-solve over still-flagged rows (0 disables)")
     args = p.parse_args()
 
     dims = ["v_car", "x_goal", "y_goal", "t_goal", "v_goal", "beta", "angv_z"]
@@ -51,13 +60,55 @@ def main():
 
     params = f1tenth_params(mu=args.mu, cs=args.cs)
     cfg = cartesian_config()
+
+    class Sol:
+        """Host-side mutable copy of the table-relevant solution fields."""
+
+        def __init__(self, s):
+            self.accel = np.asarray(s.accel).copy()
+            self.steer_vel = np.asarray(s.steer_vel).copy()
+            self.feasible = np.asarray(s.feasible).copy()
+
+    def resolve_flagged(sol, cfg2, tag):
+        bad = np.nonzero(~sol.feasible)[0]
+        if not bad.size:
+            return sol
+        t0 = time.time()
+        s2 = solve_lattice_sharded(
+            lambda r: solve_cartesian_point(r, params, cfg2), rows[bad],
+            batch_per_device=args.batch_per_device)
+        rec = np.asarray(s2.feasible)
+        sol.accel[bad] = np.asarray(s2.accel)
+        sol.steer_vel[bad] = np.asarray(s2.steer_vel)
+        sol.feasible[bad] = rec
+        print(f"  {tag}: recovered {int(rec.sum()):,}/{bad.size:,} flagged "
+              f"rows in {time.time() - t0:.0f}s -> "
+              f"{100 * float(sol.feasible.mean()):.1f}% feasible")
+        return sol
+
     t0 = time.time()
-    sol = solve_lattice_sharded(
-        lambda r: solve_cartesian_point(r, params, cfg), rows,
-        batch_per_device=args.batch_per_device)
+    if args.phase1_iters > 0:
+        cfg1 = cartesian_config(gn_iters=args.phase1_iters)
+        sol = Sol(solve_lattice_sharded(
+            lambda r: solve_cartesian_point(r, params, cfg1), rows,
+            batch_per_device=args.batch_per_device))
+        print(f"cheap pass ({args.phase1_iters}-cap) certified "
+              f"{100 * float(sol.feasible.mean()):.1f}%")
+        sol = resolve_flagged(sol, cfg, "full-budget re-solve")
+    else:
+        sol = Sol(solve_lattice_sharded(
+            lambda r: solve_cartesian_point(r, params, cfg), rows,
+            batch_per_device=args.batch_per_device))
     dt = time.time() - t0
     feas = float(np.asarray(sol.feasible).mean())
     print(f"{rows.shape[0] / dt:,.0f} solves/s, {100 * feas:.1f}% feasible")
+    if args.resolve_factor > 0:
+        cfg_hard = cartesian_config(
+            gn_iters=cfg.gn_iters * max(args.resolve_factor, 1),
+            al_outer=cfg.al_outer + 2)
+        sol = resolve_flagged(
+            sol, cfg_hard,
+            f"straggler re-solve ({args.resolve_factor}x budget)")
 
     accel = np.asarray(sol.accel)
     sv = np.asarray(sol.steer_vel)
