@@ -109,8 +109,12 @@ def _solve_box_qp_shared(P, q, lo, hi, rho: float = 1.0,
     lattice.  One KKT inverse serves every problem and each sweep is a single
     (B, n) x (n, n) matmul on the MXU — vs the generic path's per-problem
     vmapped Cholesky (measured 236 -> ~1e5+ solves/s on the quadrotor
-    lattice).  A = I means unit constraint rows, so rho = 1 with
-    over-relaxation is the measured-good regime (solvers/goal_mpc.py rho law).
+    lattice).  A = I means unit constraint rows, so a SCALE-MATCHED rho is
+    what matters: `solve_linear_mpc_batch` passes rho = mean(diag P), which
+    balances the x-update (P + rho I) against the projection the same way
+    the goal-MPC row-normalized family achieves with rho = 1 on unit-scale
+    P (solvers/goal_mpc.py rho law; rho = 1 there because row normalization
+    already puts P on unit scale — here P carries the condensed-MPC scale).
     """
     n = P.shape[-1]
     dtype = P.dtype
@@ -193,7 +197,7 @@ def condense(mpc: LinearMPC):
 
 def solve_linear_mpc_batch(mpc: LinearMPC, x0: jnp.ndarray,
                            goal: jnp.ndarray, iters: int = 1000,
-                           tol: float = 1e-4) -> jnp.ndarray:
+                           tol: float = 1e-4) -> tuple[jnp.ndarray, QPSolution]:
     """Batched condensed linear-MPC solve -> (controls (..., T, nu), sol).
 
     Cost: sum_k (x_k-g)^T Q (x_k-g) + u^T R u + terminal Qf; boxed controls.

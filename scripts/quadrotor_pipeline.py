@@ -62,6 +62,10 @@ def main():
     p.add_argument("--n_test", type=int, default=4096)
     p.add_argument("--n_rollout", type=int, default=64)
     args = p.parse_args()
+    if args.no_direct_fit and args.epochs == 0:
+        p.error("--no_direct_fit trains with Adam from scratch; --epochs "
+                "must be > 0 (the reference uses 300) or the saved net is "
+                "random init")
 
     # lattice over start states [px, py, vx, vy] toward the origin, plus
     # gaussian-sampled near-origin rows: regulation error is dominated by the
