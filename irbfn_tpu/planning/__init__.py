@@ -12,8 +12,16 @@ from irbfn_tpu.planning.explicit import (
     nn_lookup,
     nn_table_from_arrays,
 )
+from irbfn_tpu.planning.grip import (
+    GripConfig,
+    GripState,
+    grip_init,
+    grip_record,
+    grip_update,
+)
 from irbfn_tpu.planning.planner import (
     AdaptiveIRBFNPlanner,
+    GripAdaptiveFrenetPlanner,
     IRBFNFrenetPlanner,
     IRBFNPlanner,
     NMPCPlanner,
@@ -27,6 +35,8 @@ __all__ = [
     "NNTable", "grid_lookup", "grid_lookup_linear", "grid_table_from_arrays", "nn_lookup",
     "nn_table_from_arrays", "AdaptiveIRBFNPlanner", "IRBFNFrenetPlanner",
     "IRBFNPlanner", "NMPCPlanner", "PlanResult", "stack_net_bank",
+    "GripConfig", "GripState", "grip_init", "grip_record", "grip_update",
+    "GripAdaptiveFrenetPlanner",
 ]
 
 from irbfn_tpu.planning.lattice import (  # noqa: E402

@@ -251,6 +251,24 @@ class TrackEnv:
 
         return jax.lax.scan(body, sim, None, length=n_steps)
 
+    def rollout_stateful(self, sim: SimState, policy: Callable,
+                         policy_state, n_steps: int):
+        """Closed loop for a STATEFUL policy: ``policy(policy_state, obs) ->
+        (action, new_policy_state)`` — e.g. an online grip observer whose
+        estimate is part of the rollout carry (planning/grip.py). Returns
+        ``(final SimState, final policy_state, StepRecord trajectory)``."""
+
+        def body(carry, _):
+            s, ps = carry
+            obs = self.observe(s)
+            action, ps = policy(ps, obs)
+            s_next = self.step(s, action, obs.scan)
+            return (s_next, ps), StepRecord(obs, s_next.done, s_next.laps)
+
+        (final, ps), traj = jax.lax.scan(body, (sim, policy_state), None,
+                                         length=n_steps)
+        return final, ps, traj
+
 
 _OBS_TYPES = {
     # reference observation_factory presets (observation.py:266-285; the

@@ -53,10 +53,41 @@ def make_policy(args, track):
                                      input_bounds=input_bounds_from_config(conf))
 
         def policy(obs):
-            res = planner._plan_fn(planner._params, obs.s, obs.ey, obs.epsi,
-                                   obs.delta, obs.linear_vel_x,
-                                   obs.linear_vel_y, obs.ang_vel_z)
+            # the public batched API (the one the planner docstrings
+            # advertise) — the flagship sweep exercises it directly
+            res = planner.plan_batch(obs.s, obs.ey, obs.epsi, obs.delta,
+                                     obs.linear_vel_x, obs.linear_vel_y,
+                                     obs.ang_vel_z)
             return jnp.stack([res.accel, res.steer_vel], axis=-1)
+    elif args.planner == "irbfn_adaptive":
+        # grip-adaptive bank planner: online effective-grip observer picks
+        # BOTH the nearest-mu arm and the sqrt(g) pace scale per episode
+        # lane (planning/grip.py + GripAdaptiveFrenetPlanner) — no
+        # hand-tuned --speed_scale
+        if not args.bank:
+            raise SystemExit("--planner irbfn_adaptive requires --bank "
+                             "CONFIG:CKPT pairs + --arm_mus")
+        from irbfn_tpu.planning import GripAdaptiveFrenetPlanner
+        from irbfn_tpu.planning.grip import GripConfig
+        from irbfn_tpu.train import input_bounds_from_config
+
+        assert args.arm_mus and len(args.arm_mus) == len(args.bank), \
+            "--arm_mus must pair with --bank"
+        order = np.argsort(args.arm_mus)
+        model0, plist = None, []
+        for i in order:
+            cf, ck = args.bank[i].rsplit(":", 1)
+            m, prm, conf = load_model(cf, ck)
+            if model0 is None:
+                model0, conf0 = m, conf
+            plist.append({"params": prm["params"]})
+        planner = GripAdaptiveFrenetPlanner(
+            model0, plist, np.asarray(args.arm_mus)[order], track,
+            input_bounds=input_bounds_from_config(conf0),
+            grip_cfg=GripConfig(g0=args.g0),
+            pace_lo=args.pace_lo, pace_hi=args.pace_hi,
+            pace_margin=args.pace_margin)
+        return planner.policy(), planner.init_state
     elif args.planner == "irbfn_cart":
         # cartesian learned planner (reference IRBFNPlanner): body-frame
         # lookahead goal, exact mirror, steer-angle setpoint execution
@@ -72,9 +103,9 @@ def make_policy(args, track):
                                input_bounds=input_bounds_from_config(conf))
 
         def policy(obs):
-            res = planner._plan_fn(planner._params, obs.pose_x, obs.pose_y,
-                                   obs.pose_theta, obs.delta,
-                                   obs.linear_vel_x, obs.beta, obs.ang_vel_z)
+            res = planner.plan_batch(obs.pose_x, obs.pose_y, obs.pose_theta,
+                                     obs.delta, obs.linear_vel_x, obs.beta,
+                                     obs.ang_vel_z)
             return jnp.stack([res.accel, res.steer_vel], axis=-1)
     elif args.planner == "explicit":
         # explicit-MPC table lookup (reference ExplicitFrenetPlanner in the
@@ -170,9 +201,20 @@ def main():
     p.add_argument("--config_f", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--planner",
-                   choices=["irbfn", "irbfn_cart", "nmpc", "explicit",
-                            "pursuit", "goal_mpc", "goal_mpc_net"],
+                   choices=["irbfn", "irbfn_adaptive", "irbfn_cart", "nmpc",
+                            "explicit", "pursuit", "goal_mpc",
+                            "goal_mpc_net"],
                    default="nmpc")
+    p.add_argument("--bank", type=str, nargs="+", default=None,
+                   help="per-arm CONFIG_YAML:CKPT_DIR pairs for "
+                        "--planner irbfn_adaptive (one net per trained mu)")
+    p.add_argument("--arm_mus", type=float, nargs="+", default=None,
+                   help="training mu of each --bank arm")
+    p.add_argument("--g0", type=float, default=0.5,
+                   help="grip observer prior (initial pace = sqrt(g0))")
+    p.add_argument("--pace_lo", type=float, default=0.35)
+    p.add_argument("--pace_hi", type=float, default=1.0)
+    p.add_argument("--pace_margin", type=float, default=1.0)
     p.add_argument("--table_path", type=str, default=None,
                    help="solver-table npz for --planner explicit")
     p.add_argument("--horizon", type=int, default=5,
@@ -255,6 +297,9 @@ def main():
                                  if args.planner.startswith("goal_mpc")
                                  else "accl"))
     policy = make_policy(args, track)
+    init_state = None
+    if isinstance(policy, tuple):  # stateful planner (grip observer carry)
+        policy, init_state = policy
     key = jax.random.PRNGKey(args.seed)
 
     # trial loop with noisy-start retries: rerun the (compiled) batched
@@ -262,15 +307,21 @@ def main():
     ey_res = np.full(B, np.nan)
     epsi_res = np.full(B, np.nan)
     laps_res = np.zeros(B)
+    vx_res = np.full(B, np.nan)
+    g_res = np.full(B, np.nan)
     success = np.zeros(B, bool)
     tube_chunks = []
     rl = track.raceline
     for attempt in range(args.max_retries + 1):
         key, sub = jax.random.split(key)
-        final, traj = env.rollout(
-            env.reset(s0=jnp.zeros(B), speed0=1.0, key=sub,
-                      noise_scale=args.noise_scale, batch_shape=(B,)),
-            policy, n_steps=args.n_steps)
+        sim0 = env.reset(s0=jnp.zeros(B), speed0=1.0, key=sub,
+                         noise_scale=args.noise_scale, batch_shape=(B,))
+        if init_state is not None:
+            final, pstate, traj = env.rollout_stateful(
+                sim0, policy, init_state((B,)), n_steps=args.n_steps)
+        else:
+            pstate = None
+            final, traj = env.rollout(sim0, policy, n_steps=args.n_steps)
         if args.save_tube:
             o = traj.obs
             curv_t = interp_wrapped(rl.ss, rl.ks, o.s, rl.length)
@@ -282,11 +333,20 @@ def main():
             alive = ~np.asarray(traj.done)
             tube_chunks.append(states[alive])
         ey_mean, epsi_mean = deviation_metrics(traj)
+        # pace honesty metric: mean driven speed over alive steps (the
+        # adaptive planner must earn completions by slowing only where grip
+        # demands it, not by sandbagging everywhere)
+        alive = ~np.asarray(traj.done)
+        vx_t = np.asarray(traj.obs.linear_vel_x)
+        vx_mean = (vx_t * alive).sum(0) / np.maximum(alive.sum(0), 1)
         ok = ~np.asarray(final.done)
         newly = (ok | (attempt == args.max_retries)) & ~success
         ey_res[newly] = np.asarray(ey_mean)[newly]
         epsi_res[newly] = np.asarray(epsi_mean)[newly]
         laps_res[newly] = np.asarray(final.laps)[newly]
+        vx_res[newly] = vx_mean[newly]
+        if pstate is not None:
+            g_res[newly] = np.asarray(pstate.g)[newly]
         success |= ok
         if success.all():
             break
@@ -298,10 +358,12 @@ def main():
 
     ey_c, epsi_c = by_combo(ey_res), by_combo(epsi_res)
     comp_c, laps_c = by_combo(success.astype(float)), by_combo(laps_res)
+    vx_c, g_c = by_combo(vx_res), by_combo(g_res)
     for i, (mu, cs) in enumerate(combos):
+        extra = (f" g_est={g_c[i]:.2f}" if np.isfinite(g_c[i]) else "")
         print(f"mu={mu:.2f} cs={cs:.2f}: mean|ey|={ey_c[i]:.4f} "
               f"mean|epsi|={epsi_c[i]:.4f} completion={comp_c[i]:.2f} "
-              f"laps={laps_c[i]:.1f}")
+              f"laps={laps_c[i]:.1f} vx={vx_c[i]:.2f}{extra}")
 
     if args.save_tube and tube_chunks:
         tube = np.concatenate(tube_chunks, axis=0)
@@ -311,6 +373,7 @@ def main():
     with open(f"{args.out_name}.pkl", "wb") as f:
         pickle.dump({"combos": combos, "ey": ey_c, "epsi": epsi_c,
                      "completion": comp_c, "laps": laps_c,
+                     "vx_mean": vx_c, "g_est": g_c,
                      "planner": args.planner}, f)
     print(f"saved {args.out_name}.pkl")
 
