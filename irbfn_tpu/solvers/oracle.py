@@ -107,9 +107,32 @@ def solve_oracle_rows(rows: np.ndarray, params: VehicleParams | None = None,
                         np.asarray(feas))
 
 
+def save_oracle(path, rows: np.ndarray, oracle: OracleResult,
+                **provenance) -> None:
+    """Persist an OracleResult as a committed test artifact (the gym's
+    ``legacy_scan.npz`` stored-oracle pattern, SURVEY §4.4): the expensive
+    host-side SLSQP derivation runs once (scripts/gen_test_oracles.py) and
+    the suite compares the LIVE solver against the stored gold."""
+    np.savez_compressed(
+        path, rows=np.asarray(rows, np.float64), u=oracle.u,
+        objective=oracle.objective, max_violation=oracle.max_violation,
+        feasible=oracle.feasible,
+        **{f"meta_{k}": np.asarray(v) for k, v in provenance.items()})
+
+
+def load_oracle(path) -> tuple[np.ndarray, OracleResult]:
+    """Load (rows, OracleResult) saved by ``save_oracle``."""
+    z = np.load(path)
+    return z["rows"], OracleResult(z["u"], z["objective"],
+                                   z["max_violation"], z["feasible"])
+
+
 def compare_to_oracle(rows: np.ndarray, params: VehicleParams | None = None,
-                      cfg: NMPCConfig = NMPCConfig(), **oracle_kw) -> dict:
-    """Solve rows with BOTH solvers and report agreement metrics:
+                      cfg: NMPCConfig = NMPCConfig(),
+                      oracle: OracleResult | None = None, **oracle_kw) -> dict:
+    """Solve rows with the device solver (LIVE) and report agreement metrics
+    against the SLSQP oracle — freshly derived unless a stored ``oracle``
+    is passed (see ``save_oracle``):
 
     - feasibility confusion (AL feasible vs oracle feasible)
     - on commonly-feasible rows: relative objective gap
@@ -118,7 +141,8 @@ def compare_to_oracle(rows: np.ndarray, params: VehicleParams | None = None,
     """
     params = params or fullscale_params(dtype=jnp.float64)
     rows = np.asarray(rows, np.float64)
-    oracle = solve_oracle_rows(rows, params, cfg, **oracle_kw)
+    if oracle is None:
+        oracle = solve_oracle_rows(rows, params, cfg, **oracle_kw)
     sol = solve_lattice_point(jnp.asarray(rows, jnp.float64), params, cfg)
     u_al = np.stack([np.asarray(sol.accel), np.asarray(sol.steer_vel)],
                     axis=-1)

@@ -35,6 +35,29 @@ enable_compilation_cache()  # no-op on CPU unless IRBFN_CPU_CACHE=1
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run @pytest.mark.slow tests (stored-oracle re-derivation"
+             " — the expensive SLSQP/f64 gold solves the fast suite loads "
+             "from tests/oracles/*.npz)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: re-derives stored test oracles (skipped unless "
+        "--runslow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow oracle re-derivation; use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """Drop compiled executables at module boundaries.
