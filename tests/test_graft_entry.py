@@ -23,10 +23,12 @@ def test_dryrun_multichip_8():
 
 
 def test_dryrun_multichip_odd_count():
-    """Non-even device counts fall back to expert=1."""
+    """Non-even device counts fall back to expert=1. The train_step
+    workload is enough — this tests the mesh fallback, not the solver
+    workloads (which test_dryrun_multichip_8 covers in full)."""
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(3)
+    ge.dryrun_multichip(3, workload="train_step")
 
 
 def test_dryrun_multichip_bootstraps_from_single_device():
@@ -51,7 +53,8 @@ def test_dryrun_multichip_bootstraps_from_single_device():
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         "assert len(jax.devices()) == 1, jax.devices();"
-        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+        "import __graft_entry__ as g;"
+        "g.dryrun_multichip(8, workload='train_step')"
     )
     proc = subprocess.run([sys.executable, "-u", "-c", code], env=env,
                           cwd=repo, capture_output=True, text=True,
