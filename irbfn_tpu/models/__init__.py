@@ -45,9 +45,9 @@ def from_config(config: dict, centers=None, model_class: str = "WCRBFNet"):
             activation_idx=config["activation_idx"],
             delta=config["delta"],
         )
-        scale = config.get("input_scale")
-        if scale is not None and cls is not MLP:
-            kwargs["input_scale"] = tuple(float(v) for v in scale)
+    scale = config.get("input_scale")
+    if scale is not None and cls is not MLP:
+        kwargs["input_scale"] = tuple(float(v) for v in scale)
     if cls is WCRBFNet:
         kwargs.update(
             centers=centers,

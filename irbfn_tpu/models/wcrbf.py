@@ -323,18 +323,26 @@ class MLP(nn.Module):
 class ClusterWCRBFNet(nn.Module):
     """Learned-gate variant: a Dense+softmax gate replaces the geometric
     region indicator and the logits are returned for the auxiliary
-    cluster-classification loss (model.py:341-414)."""
+    cluster-classification loss (model.py:341-414).
+
+    ``input_scale`` is an anisotropic-metric extension over the reference
+    (which uses the raw isotropic distance): without it vx (range ~7)
+    drowns curv (range ~0.9) in the kernel distances — the measured
+    lesson from every other variant in this repo. None = reference parity.
+    """
 
     in_features: int
     out_features: int
     num_kernels: int
     basis_func: Callable
     num_regions: int
+    input_scale: Optional[Sequence[float]] = None
 
     def setup(self):
         self.core = RegionRBFCore(
             in_features=self.in_features, num_kernels=self.num_kernels,
-            num_regions=self.num_regions, basis_func=self.basis_func)
+            num_regions=self.num_regions, basis_func=self.basis_func,
+            input_scale=self.input_scale)
         self.gate = nn.Dense(self.num_regions)
         self.head = nn.Dense(self.out_features)
 

@@ -74,6 +74,13 @@ def _make_apply(model, params, use_pallas):
                       and jax.default_backend() == "tpu"
                       and _pallas_vmem_bytes(model) <= 12 * 2**20)
     if not use_pallas:
+        from irbfn_tpu.models.wcrbf import ClusterWCRBFNet
+
+        if isinstance(model, ClusterWCRBFNet):
+            # the learned-gate net returns (out, gate_logits); the plan
+            # step consumes controls only (irbfn_planner.py:286-326 serves
+            # the cluster variant the same way)
+            return lambda prm, xin: model.apply(prm, xin)[0]
         return model.apply
     from irbfn_tpu.ops.pallas_rbf import (wcrbf_forward_pallas,
                                           wcrbf_params_to_pallas)

@@ -58,6 +58,16 @@ def main():
     print(f"{inputs.shape[0]:,} feasible rows")
 
     if args.mirror_data:
+        if args.use_cluster:
+            # cluster ids are per-TABLE-row (…_cluster_ids.npz aligns with
+            # the unmirrored table); the reflected copy's active-constraint
+            # pattern is a permutation of the original's, not the same id,
+            # so mirror augmentation would mislabel half the CE targets.
+            # The reference's cluster runs train unmirrored
+            # (scripts/configs/dnmpc_500_clusters*.yaml).
+            raise SystemExit("--use_cluster is incompatible with "
+                             "--mirror_data (cluster ids align with the "
+                             "unmirrored table)")
         inputs, outputs = mirror_frenet_table(inputs, outputs)
     if args.only_onestep:
         T = outputs.shape[1] // 2
@@ -103,7 +113,7 @@ def main():
         model = ClusterWCRBFNet(
             in_features=8, out_features=outputs.shape[1],
             num_kernels=args.num_k, basis_func=get_basis(args.basis_function),
-            num_regions=num_regions)
+            num_regions=num_regions, input_scale=input_scale)
         model_class = "ClusterWCRBFNet"
     else:
         model = WCRBFNet(**model_kwargs, centers=centers,

@@ -423,3 +423,38 @@ def test_stacked_net_bank_selects_arm_exactly():
         rows = np.asarray(arm) == a
         np.testing.assert_allclose(np.asarray(got)[rows],
                                    np.asarray(want)[rows], rtol=1e-6)
+
+
+def test_cluster_net_serves_through_planner():
+    """ClusterWCRBFNet (learned gate, returns (out, logits)) must serve
+    through the planner plan step as controls only — the reference loads
+    its cluster checkpoints into the same planner (irbfn_planner.py:286-326).
+    Also checks the input_scale extension roundtrips via from_config."""
+    from irbfn_tpu.models import ClusterWCRBFNet, from_config
+    from irbfn_tpu.planning import IRBFNFrenetPlanner
+
+    track = oval_track(n_samples=256)
+    scale = (1.0, 2.0, 0.5, 1.0, 1.0, 0.3, 1.0, 2.0)
+    model = ClusterWCRBFNet(in_features=8, out_features=10, num_kernels=8,
+                            basis_func=get_basis("gaussian"), num_regions=4,
+                            input_scale=scale)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8)))
+    planner = IRBFNFrenetPlanner(model, params, track)
+    res = planner.plan_batch(
+        s=jnp.asarray([0.0, 5.0]), ey=jnp.asarray([0.1, -0.2]),
+        epsi=jnp.zeros(2), delta=jnp.zeros(2), vx=jnp.full(2, 3.0),
+        vy=jnp.zeros(2), wz=jnp.zeros(2))
+    assert res.accel.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(res.pred_controls)))
+
+    config = {"model_class": "ClusterWCRBFNet", "in_features": 8,
+              "out_features": 10, "num_kernels": 8,
+              "basis_func": "gaussian", "num_regions": 4,
+              "input_scale": list(scale)}
+    rebuilt = from_config(config)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (4, 8)),
+                    jnp.float32)
+    a, la = model.apply(params, x)
+    b, lb_ = rebuilt.apply(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb_), rtol=1e-6)
