@@ -53,6 +53,8 @@ def main():
         """Per-chunk error SUMS (reduced on device; only scalars cross the
         host link): control |err|, first/final-state |err| on ey/epsi/vx."""
         pred = model.apply({"params": params["params"]}, x)
+        if isinstance(pred, tuple):  # ClusterWCRBFNet returns (out, logits)
+            pred = pred[0]
         init = x[:, [0, 0, 1, 2, 3, 5, 6, 7]]
         actual = integrate_frenet(jnp.concatenate([init, y], axis=1), dyn)
         predicted = integrate_frenet(jnp.concatenate([init, pred], axis=1),
