@@ -243,6 +243,11 @@ def main():
                    default="raceline",
                    help="which track line to follow (centerline = mid-track"
                         ", unit speed profile — combine with --speed_scale)")
+    p.add_argument("--line_csv", type=str, default=None,
+                   help="explicit line CSV overriding the bundle's "
+                        "raceline/centerline — e.g. the width-feasible "
+                        "projection data/Oschersleben_raceline_feasible.csv "
+                        "(scripts/make_feasible_raceline.py)")
     p.add_argument("--car_radius", type=float, default=0.15,
                    help="collision disc radius vs the occupancy map. The "
                         "gym's own sim never terminates on wall contact "
@@ -269,6 +274,10 @@ def main():
         from irbfn_tpu.sim.map import load_track_bundle
 
         track, omap = load_track_bundle(args.map_dir, prefer=args.line)
+        if args.line_csv:
+            from irbfn_tpu.sim.track import Track, raceline_from_csv
+
+            track = Track(raceline_from_csv(args.line_csv))
     else:
         track = oval_track(length=30.0 * args.oval_scale,
                            width=15.0 * args.oval_scale,
