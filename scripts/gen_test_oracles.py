@@ -56,6 +56,81 @@ def nmpc_fixture_rows(n: int = ORACLE_ROWS,
     ])
 
 
+def derive_perturbation_gold():
+    """Derive the perturbation-optimality gold (tests/test_solvers.py
+    ``test_nmpc_perturbation_optimality``): solve the two _I_PERT rows with
+    the f64 solver, PROVE optimality here (no feasible random perturbation
+    improves the AL-free objective), and store the solution + candidate
+    evaluations.  The fast suite then only checks the live solver still
+    reproduces the gold controls — removing the two per-row f64
+    ``_smooth_cost``/rollout jit compiles that were ~8 min of the suite's
+    wall clock (CLAUDE.md).  ``pytest --runslow`` re-derives this live."""
+    from functools import partial
+
+    import jax
+
+    from irbfn_tpu.solvers import nmpc as M
+    from irbfn_tpu.solvers.nmpc import solve_lattice_point
+
+    # EXACT rows + rng protocol of the in-suite slow path
+    rows = np.array([
+        [0.3, 0.05, 4.0, -0.1, 5.0, 0.4, 0.15, 0.03],
+        [1.0, -0.1, 2.5, 0.3, 6.0, -1.0, -0.4, -0.08],
+    ])
+    p = fullscale_params(dtype=jnp.float64)
+    cfg = NMPCConfig()
+    sol = solve_lattice_point(jnp.asarray(rows), p, cfg)
+    assert bool(sol.feasible.all()), "pert gold rows must solve feasible"
+
+    n_cand = 60
+    rng = np.random.default_rng(0)
+    lo = jnp.tile(jnp.asarray([-cfg.max_accel, -cfg.max_dsteer]), cfg.horizon)
+    u_star = np.asarray(jnp.stack([sol.accel, sol.steer_vel], -1)
+                        .reshape(rows.shape[0], -1))
+    f_star, v_star = [], []
+    f_cand = np.zeros((rows.shape[0], n_cand))
+    v_cand = np.zeros((rows.shape[0], n_cand))
+    cands = np.zeros((rows.shape[0], n_cand, 2 * cfg.horizon))
+    for b in range(rows.shape[0]):
+        x0 = jnp.concatenate([jnp.zeros(1), rows[b, :4], rows[b, 5:7]])
+        goal = jnp.zeros(7).at[3].set(rows[b, 4])
+        smooth_j = jax.jit(partial(M._smooth_cost, x0=x0, goal=goal,
+                                   curv=rows[b, 7], p=p, cfg=cfg))
+
+        @jax.jit
+        def viol_j(u_flat):
+            xs = M._rollout_rk4(x0, u_flat.reshape(cfg.horizon, 2),
+                                rows[b, 7], p, cfg)
+            return jnp.max(jnp.maximum(
+                M._state_box_violations(xs, cfg), 0.0))
+
+        us = jnp.asarray(u_star[b])
+        f_star.append(float(smooth_j(us)))
+        v_star.append(float(viol_j(us)))
+        improved = 0
+        for c in range(n_cand):
+            scale = rng.choice([1e-3, 1e-2, 1e-1])
+            cand = jnp.clip(us + scale * rng.standard_normal(us.shape[0]),
+                            lo, -lo)
+            cands[b, c] = np.asarray(cand)
+            f_cand[b, c] = float(smooth_j(cand))
+            v_cand[b, c] = float(viol_j(cand))
+            if (v_cand[b, c] <= v_star[b] + 1e-6
+                    and f_cand[b, c] < f_star[b] - 1e-6):
+                improved += 1
+        assert improved == 0, (
+            f"gold derivation found {improved} improving perturbations for "
+            f"row {b} — the solver solution is NOT optimal; do not commit")
+
+    out = OUT_DIR / "nmpc_pert_gold.npz"
+    np.savez_compressed(
+        out, rows=rows, u_star=u_star, f_star=np.asarray(f_star),
+        v_star=np.asarray(v_star), cands=cands, f_cand=f_cand,
+        v_cand=v_cand, seed=0, n_cand=n_cand)
+    print(f"{out}: optimality proven for {rows.shape[0]} rows x "
+          f"{n_cand} perturbations")
+
+
 def main():
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     rows = nmpc_fixture_rows()
@@ -68,6 +143,9 @@ def main():
     print(f"{out}: {rows.shape[0]} rows, "
           f"{int(oracle.feasible.sum())} oracle-feasible, "
           f"derived in {time.time() - t0:.1f}s")
+    t0 = time.time()
+    derive_perturbation_gold()
+    print(f"perturbation gold derived in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":
