@@ -106,9 +106,12 @@ def test_cited_artifacts_are_committed():
     for path, docs in sorted(_cited_paths().items()):
         if path.startswith(REGEN_ONLY_PREFIXES):
             continue
-        # a citation may name a file or a directory (ckpt trees)
+        # a citation may name a file, a directory (ckpt trees), or an
+        # extensionless --out_name stem (scripts append .pkl)
+        stem = path.rstrip("/")
         hit = path in tracked or any(
-            t.startswith(path.rstrip("/") + "/") for t in tracked)
+            t.startswith(stem + "/") or t.startswith(stem + ".")
+            for t in tracked)
         if not hit:
             missing.append(f"{path} (cited in {', '.join(sorted(docs))})")
     assert not missing, (
