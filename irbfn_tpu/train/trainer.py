@@ -192,14 +192,20 @@ def clothoid_endpoint_loss(apply_fn, params, x, y, dyn_params,
     return pred_loss + end_weight * end_loss, (pred_loss, end_loss)
 
 
-def cluster_fullint_loss(apply_fn, params, x, y, cluster_onehot, dyn_params):
-    """fullint + softmax CE on gate logits (train_nmpc_frenet.py:424-453)."""
+def cluster_fullint_loss(apply_fn, params, x, y, cluster_ids, dyn_params):
+    """fullint + softmax CE on gate logits (train_nmpc_frenet.py:424-453).
+
+    ``cluster_ids`` are INTEGER labels ``(B,)``, not one-hots: the reference
+    uploads a dense (B, 500) one-hot per step, which through the remote-TPU
+    link is 40 MB/step at batch 20k — measured 1.2 s/step, 10x the compute.
+    Integer labels are 80 KB and one-hot inside the loss is free."""
     y_pred, logits = apply_fn(params, x)
     pred_loss = jnp.abs(y_pred - y).mean()
     actual = _frenet_rollout_rows(x, y, dyn_params)
     pred = _frenet_rollout_rows(x, y_pred, dyn_params)
     int_loss = jnp.abs(pred - actual).mean()
-    cl_loss = optax.softmax_cross_entropy(logits, cluster_onehot).mean()
+    cl_loss = optax.softmax_cross_entropy_with_integer_labels(
+        logits, cluster_ids).mean()
     return pred_loss + int_loss + cl_loss, (pred_loss, int_loss, cl_loss)
 
 
@@ -262,6 +268,7 @@ def train_epochs(state: TrainState, step_fn, inputs, outputs, batch_size: int,
     ``log_every`` steps — converting metrics to floats forces a device sync,
     which through a remote-TPU link costs more than the step itself.
     """
+    device_gather = mesh is None
     if mesh is not None:
         from irbfn_tpu.parallel.mesh import data_sharding
 
@@ -274,14 +281,31 @@ def train_epochs(state: TrainState, step_fn, inputs, outputs, batch_size: int,
     steps = max(1, n // batch_size)
     np_rng = np.random.default_rng(
         np.asarray(jax.random.key_data(rng))[-1].item())
+    if device_gather:
+        # single-device path: the table lives in HBM ONCE and each batch is
+        # a device-side gather driven by the uploaded permutation indices
+        # (batch_size*4 bytes) — host-gathering rows and re-uploading them
+        # every step was measured upload-bound through the remote-TPU link
+        # (1.4 MB/step for x,y at batch 20k; worse with wide extras)
+        inputs = jnp.asarray(inputs)
+        outputs = jnp.asarray(outputs)
+        extra = None if extra is None else jnp.asarray(extra)
     for e in range(epochs):
         perms = np_rng.permutation(n)[: steps * batch_size]
         perms = perms.reshape(steps, batch_size)
         losses = []
         for b, perm in enumerate(perms):
-            bx = place(inputs[perm])
-            by = place(outputs[perm])
-            args = (bx, by) if extra is None else (bx, by, place(extra[perm]))
+            if device_gather:
+                idx = jnp.asarray(perm)
+                bx = jnp.take(inputs, idx, axis=0)
+                by = jnp.take(outputs, idx, axis=0)
+                args = ((bx, by) if extra is None
+                        else (bx, by, jnp.take(extra, idx, axis=0)))
+            else:
+                bx = place(inputs[perm])
+                by = place(outputs[perm])
+                args = ((bx, by) if extra is None
+                        else (bx, by, place(extra[perm])))
             state, metrics = step_fn(state, *args)
             losses.append(metrics.loss)
             if log_fn is not None and (b % log_every == 0

@@ -261,13 +261,15 @@ def main():
 
     dyn_params = f1tenth_params(mu=args.mu, cs=args.cs).to_vector()
 
-    cluster_onehot = None
+    cluster_extra = None
     if args.use_cluster:
         cdata = np.load(args.npz_path[:-4] +
                         f"_{args.num_clusters}_cluster_ids" +
                         args.npz_path[-4:])
-        ids = cdata["cluster_int_ids"][valid]
-        cluster_onehot = np.eye(num_regions, dtype=np.float32)[ids]
+        # integer labels, NOT one-hots: a dense (B, 500) one-hot upload was
+        # measured at 40 MB/step through the dev tunnel (trainer.py
+        # cluster_fullint_loss docstring)
+        cluster_extra = cdata["cluster_int_ids"][valid].astype(np.int32)
         loss_fn = cluster_fullint_loss
     elif args.only_onestep:
         loss_fn = frenet_oneint_loss
@@ -292,7 +294,7 @@ def main():
     state, final_loss = train_epochs(
         state, step_fn, inputs.astype(np.float32),
         outputs.astype(np.float32), bs, args.train_epochs, rng,
-        extra=cluster_onehot, log_fn=log_fn, checkpoint_fn=ckpt_fn)
+        extra=cluster_extra, log_fn=log_fn, checkpoint_fn=ckpt_fn)
     print(f"final mean loss {final_loss:.6f}; checkpoints at {ckpt_dir}")
     logger.close()
 

@@ -92,11 +92,13 @@ def test_cluster_loss_path():
     model = ClusterWCRBFNet(in_features=8, out_features=10, num_kernels=8,
                             basis_func=get_basis("gaussian"), num_regions=4)
     x, y = _batch(8)
-    onehot = jnp.eye(4)[np.random.default_rng(0).integers(0, 4, 8)]
+    # integer CE labels (trainer.py cluster_fullint_loss: one-hot uploads
+    # were 40 MB/step through the dev tunnel)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 4, 8), jnp.int32)
     state = create_train_state(model, jax.random.PRNGKey(0), x)
     dyn = f1tenth_params(dtype=jnp.float32).to_vector()
     step = make_train_step(cluster_fullint_loss, dyn, donate=False)
-    state, m = step(state, x, y, onehot)
+    state, m = step(state, x, y, ids)
     assert m.cluster_loss is not None and np.isfinite(float(m.cluster_loss))
 
 
