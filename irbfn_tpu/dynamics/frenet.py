@@ -47,8 +47,29 @@ def tire_forces(delta, vx, vy, wz, p: VehicleParams):
     return fyf, fyr
 
 
+
+def _one_m_ke(ey, curv, eps_denom):
+    """``1 - ey*curv`` with an optional magnitude floor.
+
+    The exact form is singular where the lateral offset reaches the path's
+    curvature center (ey*curv -> 1). Oracle-table rows keep it >= 0.1, and
+    the NMPC solver must see the EXACT dynamics (eps_denom=None) for
+    table/solver parity — but TRAINING rollouts integrate the net's raw
+    early-epoch predictions, which can push ey far outside the valid tube:
+    one singular row NaNs the loss and permanently poisons the Adam state
+    (measured on the wide table's curv 0.45 grid at step ~1.9k). The 0.05
+    floor is inactive on every valid state (table min 0.1) and keeps
+    gradients finite outside the tube.
+    """
+    d = 1.0 - ey * curv
+    if eps_denom is None:
+        return d
+    return jnp.where(d >= 0, jnp.maximum(d, eps_denom),
+                     jnp.minimum(d, -eps_denom))
+
 def frenet_hs_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
-                    p: VehicleParams, saturate: bool = True) -> jnp.ndarray:
+                    p: VehicleParams, saturate: bool = True,
+                    eps_denom: float | None = None) -> jnp.ndarray:
     """High-speed (dynamic, tire-force) Frenet derivative, batched.
 
     Args:
@@ -76,7 +97,7 @@ def frenet_hs_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
         sv = jnp.clip(sv, -p.sv_max, p.sv_max)
 
     fyf, fyr = tire_forces(delta, vx, vy, wz, p)
-    one_m_ke = 1.0 - curv * ey
+    one_m_ke = _one_m_ke(ey, curv, eps_denom)
     s_dot = (vx * jnp.cos(epsi) - vy * jnp.sin(epsi)) / one_m_ke
 
     return jnp.stack(
@@ -94,7 +115,8 @@ def frenet_hs_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
 
 
 def frenet_ls_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
-                    p: VehicleParams, saturate: bool = True) -> jnp.ndarray:
+                    p: VehicleParams, saturate: bool = True,
+                    eps_denom: float | None = None) -> jnp.ndarray:
     """Low-speed (kinematic) Frenet derivative, batched. vy/wz derivatives
     are zero (ref dynamics.py:267-277). See frenet_hs_deriv for
     ``saturate``."""
@@ -109,7 +131,7 @@ def frenet_ls_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
         a = jnp.clip(a, -p.a_max, p.a_max)
         sv = jnp.clip(sv, -p.sv_max, p.sv_max)
 
-    s_dot = (vx * jnp.cos(epsi)) / (1.0 - ey * curv)
+    s_dot = (vx * jnp.cos(epsi)) / _one_m_ke(ey, curv, eps_denom)
     zero = jnp.zeros_like(vx)
     return jnp.stack(
         [
@@ -126,7 +148,8 @@ def frenet_ls_deriv(x: jnp.ndarray, u: jnp.ndarray, curv: jnp.ndarray,
 
 
 def frenet_deriv(x, u, curv, p: VehicleParams, blend: str = "switch",
-                 v_switch: float = V_SWITCH, saturate: bool = True) -> jnp.ndarray:
+                 v_switch: float = V_SWITCH, saturate: bool = True,
+                 eps_denom: float | None = None) -> jnp.ndarray:
     """Frenet derivative with selectable model blending.
 
     blend="switch": speed-switched (the CasADi oracle's if_else, branchless).
@@ -134,18 +157,20 @@ def frenet_deriv(x, u, curv, p: VehicleParams, blend: str = "switch",
     blend="hs":     always high-speed.
     """
     if blend == "ls":
-        return frenet_ls_deriv(x, u, curv, p, saturate)
+        return frenet_ls_deriv(x, u, curv, p, saturate, eps_denom)
     if blend == "hs":
-        return frenet_hs_deriv(x, u, curv, p, saturate)
+        return frenet_hs_deriv(x, u, curv, p, saturate, eps_denom)
     speed = jnp.sqrt(x[..., IVX] ** 2 + x[..., IVY] ** 2)
     use_hs = (speed >= v_switch)[..., None]
-    return jnp.where(use_hs, frenet_hs_deriv(x, u, curv, p, saturate),
-                     frenet_ls_deriv(x, u, curv, p, saturate))
+    return jnp.where(use_hs, frenet_hs_deriv(x, u, curv, p, saturate,
+                                             eps_denom),
+                     frenet_ls_deriv(x, u, curv, p, saturate, eps_denom))
 
 
 def frenet_rollout(x0: jnp.ndarray, controls: jnp.ndarray, curv: jnp.ndarray,
                    p: VehicleParams, blend: str = "ls",
-                   integrator: str = "euler") -> jnp.ndarray:
+                   integrator: str = "euler",
+                   eps_denom: float | None = None) -> jnp.ndarray:
     """Integrate a control sequence in the Frenet frame (constant curvature
     over the horizon, as the oracle's parameterization assumes).
 
@@ -154,7 +179,7 @@ def frenet_rollout(x0: jnp.ndarray, controls: jnp.ndarray, curv: jnp.ndarray,
     Returns:
         states after each step, ``(..., T, 7)``
     """
-    deriv = partial(frenet_deriv, blend=blend)
+    deriv = partial(frenet_deriv, blend=blend, eps_denom=eps_denom)
 
     def step_fn(x, u):
         if integrator == "euler":
@@ -178,9 +203,10 @@ def _dt(p: VehicleParams):
     return dt[..., None] if dt.ndim > 0 else dt
 
 
-@partial(jax.jit, static_argnames=("horizon",))
+@partial(jax.jit, static_argnames=("horizon", "eps_denom"))
 def integrate_frenet(x_and_u: jnp.ndarray, params_vec: jnp.ndarray,
-                     horizon: int = 5) -> jnp.ndarray:
+                     horizon: int = 5,
+                     eps_denom: float | None = None) -> jnp.ndarray:
     """Reference-ABI 5-step low-speed Frenet rollout.
 
     Equivalent of reference ``integrate_frenet_mult`` (dynamics.py:284-290):
@@ -194,7 +220,8 @@ def integrate_frenet(x_and_u: jnp.ndarray, params_vec: jnp.ndarray,
     curv = x_and_u[..., FRENET_STATE_DIM]
     tail = x_and_u[..., FRENET_STATE_DIM + 1:]
     controls = jnp.stack([tail[..., :horizon], tail[..., horizon:2 * horizon]], axis=-1)
-    states = frenet_rollout(x0, controls, curv, p, blend="ls", integrator="euler")
+    states = frenet_rollout(x0, controls, curv, p, blend="ls",
+                            integrator="euler", eps_denom=eps_denom)
     curv_col = jnp.broadcast_to(curv[..., None, None], states.shape[:-1] + (1,))
     return jnp.concatenate([states, curv_col], axis=-1)
 

@@ -142,7 +142,11 @@ def _frenet_rollout_rows(x: jnp.ndarray, u_seq: jnp.ndarray, dyn_params):
     # interest), kept for parity.
     init = x[:, [0, 0, 1, 2, 3, 5, 6, 7]]
     rows = jnp.concatenate([init, u_seq], axis=1)
-    return integrate_frenet(rows, dyn_params)
+    # eps_denom: early-epoch nets predict wild controls whose rollout can
+    # cross the frenet singularity ey*curv -> 1 on wide-grid (curv 0.45)
+    # tables — one singular row NaNs the loss and poisons Adam for good
+    # (dynamics/frenet.py:_one_m_ke). Inactive on valid states.
+    return integrate_frenet(rows, dyn_params, eps_denom=0.05)
 
 
 def frenet_fullint_loss(apply_fn, params, x, y, dyn_params):
