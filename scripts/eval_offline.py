@@ -34,6 +34,11 @@ def main():
     args = p.parse_args()
 
     model, params, config = load_model(args.config_f, args.ckpt)
+    if config.get("head_mode") == "per_region":
+        # the per-region head materializes a (B, R, K) feature tensor; at
+        # the 1M default chunk with 16x512 that is a 34 GB HBM allocation
+        # (observed OOM on v5e). 64k keeps it ~2 GB.
+        args.chunk = min(args.chunk, 1 << 16)
     data = np.load(args.npz_path)
     inputs, outputs = data["inputs"], data["outputs"]
     from irbfn_tpu.parallel.datagen import controls_block
