@@ -275,7 +275,8 @@ def main():
 
         track, omap = load_track_bundle(args.map_dir, prefer=args.line)
         if args.line_csv:
-            from irbfn_tpu.sim.track import Track, raceline_from_csv
+            from irbfn_tpu.sim.map import raceline_from_csv
+            from irbfn_tpu.sim.track import Track
 
             track = Track(raceline_from_csv(args.line_csv))
     else:
