@@ -95,6 +95,30 @@ def main():
     p.add_argument("--n_points", type=int, default=2000)
     p.add_argument("--push_iters", type=int, default=200)
     p.add_argument("--smooth_alpha", type=float, default=0.25)
+    p.add_argument("--blend_centerline", type=int, default=1,
+                   help="1: pre-blend toward the centerline at sub-margin "
+                        "sections (corridor-shaped curvature) before the "
+                        "push projection; 0: pure EDT push (round-4 mode)")
+    p.add_argument("--blend_dilate", type=int, default=60,
+                   help="rolling-max rounds widening the blend window so "
+                        "the transition into/out of a pinch is gradual")
+    p.add_argument("--relax_iters", type=int, default=2000,
+                   help="smooth+re-push relaxation rounds for the curvature "
+                        "cap (see the post-projection pass below)")
+    p.add_argument("--k_max", type=float, default=0.42,
+                   help="target max |curvature| (inside the planner tables' "
+                        "+-0.45 coverage)")
+    p.add_argument("--a_lat", type=float, default=None,
+                   help="lateral-accel budget (m/s^2) for the corner speed "
+                        "cap; default = p98 of the original raceline's "
+                        "|k|v^2. The default is ~0.95g here — fine for the "
+                        "one corner the raceline takes at that load, but a "
+                        "blended section capped AT it is pinned above "
+                        "mu<=0.9 grip for long arcs; pass ~6 for a line "
+                        "drivable across the mu sweep")
+    p.add_argument("--geom_smooth_m", type=float, default=1.5,
+                   help="moving-average window (meters) for the written "
+                        "yaw/kappa columns (see the geometry filter below)")
     p.add_argument("--out", type=str, required=True)
     args = p.parse_args()
 
@@ -108,11 +132,42 @@ def main():
 
     # the original line's lateral-acceleration budget: the speed cap law
     # below reproduces raceline pace wherever geometry is unchanged
-    a_lat = float(np.percentile(k0**2 * 0 + np.abs(k0) * vx0**2, 98))
+    a_lat = (args.a_lat if args.a_lat is not None else
+             float(np.percentile(np.abs(k0) * vx0**2, 98)))
     xy = resample_closed(xy0, args.n_points)
     d, _ = edt_clearance_and_grad(omap, xy)
     print(f"original: min clearance {d.min():.3f} m at s="
           f"{geometry(xy)[0][d.argmin()]:.1f}; a_lat budget {a_lat:.2f}")
+
+    if args.blend_centerline:
+        # Pure outward EDT pushing leaves a near-kink at each pinch: the
+        # margin contour around a convex wall corner has radius ~= margin
+        # (round-4's committed line peaked at |kappa| 1.0 — outside the
+        # planner tables' +-0.45 coverage — and every closed-loop run died
+        # there). The CENTERLINE threads the same pinch with corridor-shaped
+        # curvature (max 0.61 here) and maximal clearance, so: blend toward
+        # the centerline exactly where the raceline lacks margin, keep
+        # raceline geometry (and pace) everywhere else.
+        import os
+
+        name = os.path.basename(os.path.normpath(args.map_dir))
+        cpath = os.path.join(args.map_dir, f"{name}_centerline.csv")
+        c = np.loadtxt(cpath, delimiter=",", skiprows=1)[:, :2]
+        c = resample_closed(c, args.n_points)
+        # nearest-centerline target per raceline sample
+        d2 = ((xy[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        target = c[d2.argmin(1)]
+        need = np.maximum(args.margin - d, 0.0) > 0.0
+        w = need.astype(float)
+        for _ in range(args.blend_dilate):
+            w = np.maximum(w, 0.5 * (np.roll(w, 1) + np.roll(w, -1)))
+        xy = xy + w[:, None] * (target - xy)
+        xy = resample_closed(smooth_periodic(xy, 0.3, 4), args.n_points)
+        d, _ = edt_clearance_and_grad(omap, xy)
+        print(f"centerline blend over {int(need.sum())} deficient pts "
+              f"(dilated {int((w > 0.01).sum())}): min clearance "
+              f"{d.min():.3f} m, max|kappa| "
+              f"{np.abs(geometry(xy)[2]).max():.3f}")
 
     for it in range(args.push_iters):
         d, g = edt_clearance_and_grad(omap, xy)
@@ -139,12 +194,54 @@ def main():
     print(f"projected in {it + 1} iters: min clearance {d.min():.3f} m")
     assert d.min() >= args.margin - 1e-3, "projection failed to clear margin"
 
+    # curvature relaxation: pushing outward along the EDT gradient leaves a
+    # near-kink at each pinch (round-4's committed line peaked at
+    # |kappa| 1.0 vs the raceline's 0.38 — outside the planner tables'
+    # +-0.45 coverage, and every closed-loop run died exactly there).
+    # Alternate gentle global smoothing with a re-push to the margin: a
+    # relaxation whose fixed point is a smooth line ON the margin boundary.
+    k_abs = np.abs(geometry(xy)[2]).max()
+    for rx in range(args.relax_iters):
+        if k_abs <= args.k_max:
+            break
+        xy = smooth_periodic(xy, 0.1, 1)
+        for _ in range(5):
+            d, g = edt_clearance_and_grad(omap, xy)
+            need = np.maximum(args.margin - d, 0.0)
+            if need.max() == 0.0:
+                break
+            xy = xy + need[:, None] * g
+        xy = resample_closed(xy, args.n_points)
+        k_abs = np.abs(geometry(xy)[2]).max()
+    d, _ = edt_clearance_and_grad(omap, xy)
+    print(f"curvature relaxation: max|kappa| {k_abs:.3f} after {rx} iters, "
+          f"min clearance {d.min():.3f} m")
+    assert d.min() >= args.margin - 5e-3, "relaxation lost the margin"
+
     s, yaw, k, length = geometry(xy)
+    # Low-pass the consumed geometry columns: finite-difference yaw/kappa
+    # of the pushed polyline carry ~86x the bundle raceline's high-frequency
+    # noise (measured hf-rms 0.036 vs 0.0004), and the planner reads curv
+    # and epsi straight off these columns — jitter there is jitter in the
+    # steering. The xy path itself is untouched (margin stays true); the
+    # filtered columns are what a smooth line through the same samples has.
+    win = max(3, int(round(args.geom_smooth_m / (length / len(s)))) | 1)
+    kern = np.ones(win) / win
+
+    def cfilt(a):  # periodic moving average
+        pad = np.concatenate([a[-win:], a, a[:win]])
+        return np.convolve(pad, kern, mode="same")[win:-win]
+
+    yaw_u = np.unwrap(yaw)
+    yaw = np.angle(np.exp(1j * cfilt(yaw_u)))
+    k = cfilt(k)
     # speed: original profile interpolated by arc fraction, capped by the
     # new curvature at the original a_lat budget
     vx = np.interp(s / length * s0[-1], s0, vx0)
     vx_cap = np.sqrt(a_lat / np.maximum(np.abs(k), 1e-6))
     vx = np.minimum(vx, vx_cap)
+    print(f"geometry filter (window {win} pts ~ {args.geom_smooth_m} m): "
+          f"k hf-rms {np.std(k - cfilt(k)):.4f}, max|k| {np.abs(k).max():.3f}")
     header = ("# s_m; x_m; y_m; psi_rad; kappa_radpm; vx_mps\n"
               f"# width-feasible projection of {args.map_dir} raceline "
               f"(margin {args.margin} m) — scripts/make_feasible_raceline.py"
