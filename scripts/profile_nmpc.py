@@ -91,8 +91,22 @@ def _chain(fn_batch, x, reps):
     return jax.jit(run)
 
 
+def _slope_time(fn_batch, x, reps):
+    """Per-evaluation time of a batched op via the TWO-chain-length slope
+    (CLAUDE.md timing discipline: a single timed call through the axon
+    tunnel attributes the ~25 ms RTT to the op — round-4 advisor measured
+    the old single-call ceilings under-reporting 10-25x)."""
+    t1 = _med_time(_chain(fn_batch, x, reps), x, warmup=1, iters=3)
+    t2 = _med_time(_chain(fn_batch, x, 2 * reps), x, warmup=1, iters=3)
+    return (t2 - t1) / reps
+
+
 def measure_ceilings():
-    """Measured single-chip f32 VPU FMA ceiling + HBM read bandwidth."""
+    """Measured single-chip f32 VPU FMA ceiling + HBM read bandwidth.
+
+    Both ops are sub-ms, so both use the chain-slope (the 1e-20*acc feedback
+    in ``_chain`` fuses into the elementwise chain / the reduction — no extra
+    materialized array, just a dependent re-read per iteration)."""
     n = 1 << 22  # 16 MB operand: streams HBM once, 64 fused FMAs per element
     x = jnp.arange(n, dtype=jnp.float32) * 1e-9
 
@@ -100,15 +114,13 @@ def measure_ceilings():
         y = v
         for _ in range(64):
             y = y * 1.000001 + 1e-6
-        return jnp.sum(y)
+        return y
 
-    f = jax.jit(fma_chain)
-    t = _med_time(f, x, warmup=3, iters=7)
+    t = _slope_time(fma_chain, x, reps=32)
     vpu_flops = 2.0 * 64 * n / t  # FMA = 2 FLOP
 
     big = jnp.ones((1 << 28,), jnp.float32)  # 1 GiB
-    g = jax.jit(jnp.sum)
-    tb = _med_time(g, big, warmup=2, iters=5)
+    tb = _slope_time(lambda v: jnp.sum(v)[None], big, reps=4)
     hbm_bw = big.nbytes / tb
     return vpu_flops, hbm_bw
 
@@ -140,9 +152,11 @@ def main():
     p = fullscale_params(mu=1.0, cs=5.0, dtype=jnp.float32)
     rows = lattice_rows(B)
 
-    # --- full solve ------------------------------------------------------
+    # --- full solve (chain-slope: a single timed call would fold one
+    # ~25 ms tunnel RTT into t_full, ~14% at batch 2048) -------------------
     full = jax.jit(lambda r: solve_lattice_point(r, p, cfg).accel.sum())
-    t_full = _med_time(full, rows, warmup=1, iters=3)
+    t_full = _slope_time(lambda r: solve_lattice_point(r, p, cfg).accel,
+                         rows, reps=3)
     flops_full = _cost_flops(full, rows)
     rate = B / t_full
 
@@ -232,6 +246,14 @@ def main():
                   + comps["line_search"])
     t_model = iters_cap * t_iter_sum
 
+    # XLA cost_analysis counts a while/fori body ONCE (trip count not
+    # multiplied), so flops_full badly under-counts the capped solve.
+    # Executed-FLOP model: iteration components (measured loop-free) times
+    # the iteration cap — the same decomposition as the wall-clock model.
+    flops_iter = (comps["jacfwd_pass_flops"] + comps["spd_solve_flops"]
+                  + comps["line_search_flops"])
+    flops_exec = iters_cap * flops_iter
+
     out = {
         "batch": B,
         "solves_per_sec": round(rate, 1),
@@ -243,12 +265,14 @@ def main():
         "t_rollout_us": round(1e6 * comps["rollout_primal"], 1),
         "t_iter_sum_us": round(1e6 * t_iter_sum, 1),
         "t_model_vs_full": round(t_model / t_full, 3),
-        "achieved_flops": flops_full / t_full,
+        "flops_full_costanalysis": flops_full,  # loop bodies counted ONCE
+        "flops_exec_model": flops_exec,
+        "achieved_flops": flops_exec / t_full,
         "vpu_ceiling_flops": vpu_flops,
         "hbm_bw_bytes_per_s": hbm_bw,
         "pct_of_measured_vpu_ceiling": round(
-            100.0 * (flops_full / t_full) / vpu_flops, 2),
-        "flops_per_solve": flops_full / B,
+            100.0 * (flops_exec / t_full) / vpu_flops, 2),
+        "flops_per_solve": flops_exec / B,
     }
     print(json.dumps(out, indent=2))
 
@@ -259,7 +283,9 @@ def main():
     print(f"sum-of-parts model covers {100 * t_model / t_full:.0f}% of the "
           f"measured full solve at the {iters_cap}-iteration cap "
           "(the remainder = while_loop state carry + AL outer overhead)")
-    print(f"achieved {flops_full / t_full / 1e9:.1f} GFLOP/s of a measured "
+    print(f"achieved {flops_exec / t_full / 1e9:.1f} GFLOP/s "
+          "(executed-FLOP model; XLA cost_analysis counts loop bodies once: "
+          f"{flops_full / 1e9:.1f} GFLOP) of a measured "
           f"{vpu_flops / 1e12:.2f} TFLOP/s f32 VPU ceiling "
           f"({out['pct_of_measured_vpu_ceiling']}%) — HBM read "
           f"{hbm_bw / 1e9:.0f} GB/s")
