@@ -143,10 +143,27 @@ def compare_to_oracle(rows: np.ndarray, params: VehicleParams | None = None,
     rows = np.asarray(rows, np.float64)
     if oracle is None:
         oracle = solve_oracle_rows(rows, params, cfg, **oracle_kw)
-    sol = solve_lattice_point(jnp.asarray(rows, jnp.float64), params, cfg)
-    u_al = np.stack([np.asarray(sol.accel), np.asarray(sol.steer_vel)],
-                    axis=-1)
-    feas_al = np.asarray(sol.feasible)
+    # solve in 39-row padded chunks: the shared-batch solver fixture in
+    # tests/test_solvers.py compiles the f64 program at exactly batch 39,
+    # and a second batch shape here was a second ~135 s XLA:CPU compile in
+    # every suite run (the heaviest remaining item after the stored-oracle
+    # work). Chunking reuses that program when it exists and costs one
+    # compile (not two) when it doesn't.
+    CHUNK = 39
+    accs, svs, feas = [], [], []
+    for s0 in range(0, len(rows), CHUNK):
+        chunk = rows[s0:s0 + CHUNK]
+        pad = CHUNK - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        csol = solve_lattice_point(jnp.asarray(chunk, jnp.float64), params,
+                                   cfg)
+        n = CHUNK - pad
+        accs.append(np.asarray(csol.accel)[:n])
+        svs.append(np.asarray(csol.steer_vel)[:n])
+        feas.append(np.asarray(csol.feasible)[:n])
+    u_al = np.stack([np.concatenate(accs), np.concatenate(svs)], axis=-1)
+    feas_al = np.concatenate(feas)
 
     # evaluate the AL solutions under the SAME objective
     obj_fn = jax.jit(jax.vmap(
