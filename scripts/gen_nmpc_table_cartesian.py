@@ -61,13 +61,23 @@ def main():
     params = f1tenth_params(mu=args.mu, cs=args.cs)
     cfg = cartesian_config()
 
+    def table_fields(r, cfg_):
+        """Fetch ONLY what the table stores. The full NMPCSolution is
+        ~560 B/row (states + the 86-wide onehot); at the full-resolution
+        106.5M-row reference lattice that is ~59 GB through the ~10 MB/s
+        dev tunnel — the fetch, not the solve, would set the wall clock.
+        Returning (accel, steer_vel, feasible) cuts it to ~41 B/row and
+        lets XLA dead-code-eliminate the unused output paths."""
+        s = solve_cartesian_point(r, params, cfg_)
+        return s.accel, s.steer_vel, s.feasible
+
     class Sol:
         """Host-side mutable copy of the table-relevant solution fields."""
 
         def __init__(self, s):
-            self.accel = np.asarray(s.accel).copy()
-            self.steer_vel = np.asarray(s.steer_vel).copy()
-            self.feasible = np.asarray(s.feasible).copy()
+            self.accel = np.asarray(s[0]).copy()
+            self.steer_vel = np.asarray(s[1]).copy()
+            self.feasible = np.asarray(s[2]).copy()
 
     def resolve_flagged(sol, cfg2, tag):
         bad = np.nonzero(~sol.feasible)[0]
@@ -75,11 +85,11 @@ def main():
             return sol
         t0 = time.time()
         s2 = solve_lattice_sharded(
-            lambda r: solve_cartesian_point(r, params, cfg2), rows[bad],
+            lambda r: table_fields(r, cfg2), rows[bad],
             batch_per_device=args.batch_per_device)
-        rec = np.asarray(s2.feasible)
-        sol.accel[bad] = np.asarray(s2.accel)
-        sol.steer_vel[bad] = np.asarray(s2.steer_vel)
+        rec = np.asarray(s2[2])
+        sol.accel[bad] = np.asarray(s2[0])
+        sol.steer_vel[bad] = np.asarray(s2[1])
         sol.feasible[bad] = rec
         print(f"  {tag}: recovered {int(rec.sum()):,}/{bad.size:,} flagged "
               f"rows in {time.time() - t0:.0f}s -> "
@@ -90,15 +100,15 @@ def main():
     if args.phase1_iters > 0:
         cfg1 = cartesian_config(gn_iters=args.phase1_iters)
         sol = Sol(solve_lattice_sharded(
-            lambda r: solve_cartesian_point(r, params, cfg1), rows,
-            batch_per_device=args.batch_per_device))
+            lambda r: table_fields(r, cfg1), rows,
+            batch_per_device=args.batch_per_device, progress=True))
         print(f"cheap pass ({args.phase1_iters}-cap) certified "
               f"{100 * float(sol.feasible.mean()):.1f}%")
         sol = resolve_flagged(sol, cfg, "full-budget re-solve")
     else:
         sol = Sol(solve_lattice_sharded(
-            lambda r: solve_cartesian_point(r, params, cfg), rows,
-            batch_per_device=args.batch_per_device))
+            lambda r: table_fields(r, cfg), rows,
+            batch_per_device=args.batch_per_device, progress=True))
     dt = time.time() - t0
     feas = float(np.asarray(sol.feasible).mean())
     print(f"{rows.shape[0] / dt:,.0f} solves/s, {100 * feas:.1f}% feasible")
